@@ -1,0 +1,70 @@
+"""Exact percentile with a frozen, cross-engine-reproducible formula.
+
+SURVEY §7.2: "avoid approx_percentile … compute order-sensitive stats
+where order is explicit". Spark's built-in exact ``percentile`` and
+DuckDB's ``quantile_cont`` use algebraically equal but floating-point
+different interpolation formulas, which flips the last bit on ~0.05% of
+values. Since the north rule demands exact point-match of every rolled-up
+point, the engine freezes ONE formula and evaluates it identically in
+Spark column expressions, DuckDB oracle SQL, and the NumPy test oracle:
+
+    idx  = (n - 1) * p
+    lo   = floor(idx); hi = ceil(idx); frac = idx - lo
+    pct  = v[lo] + (v[hi] - v[lo]) * frac      # 0-based sorted values
+
+This matches ``numpy.percentile(method="linear")`` evaluated with the
+same operation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sorted_vals(col: Column) -> Column:
+    """Aggregate expression: ascending sorted array of non-NULL values."""
+    return F.array_sort(F.collect_list(col))
+
+
+def pct_from_sorted(arr: Column, p: float) -> Column:
+    """Linear-interpolated percentile from a sorted array column."""
+    n = F.size(arr)
+    idx = (n - F.lit(1)).cast("double") * F.lit(p)
+    lo = F.floor(idx)
+    frac = idx - lo
+    vlo = F.element_at(arr, lo.cast("int") + F.lit(1))
+    vhi = F.element_at(arr, F.ceil(idx).cast("int") + F.lit(1))
+    return F.when(n > 0, vlo + (vhi - vlo) * frac)
+
+
+def duckdb_pct_expr(arr_sql: str, p: float) -> str:
+    """The same formula as DuckDB SQL over a list expression.
+
+    ``arr_sql`` must evaluate to an ascending sorted list of non-NULL
+    doubles (e.g. ``list_sort(list(x) FILTER (x IS NOT NULL))``).
+    """
+    idx = f"(CAST(len({arr_sql}) - 1 AS DOUBLE) * {p!r})"
+    lo = f"CAST(FLOOR({idx}) AS INT)"
+    hi = f"CAST(CEIL({idx}) AS INT)"
+    frac = f"({idx} - FLOOR({idx}))"
+    vlo = f"{arr_sql}[{lo} + 1]"
+    vhi = f"{arr_sql}[{hi} + 1]"
+    return (
+        f"CASE WHEN len({arr_sql}) > 0 "
+        f"THEN {vlo} + ({vhi} - {vlo}) * {frac} END"
+    )
+
+
+def np_pct(values: np.ndarray, p: float) -> float:
+    """NumPy twin of the frozen formula (test oracle)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = v.size
+    if n == 0:
+        return float("nan")
+    idx = (n - 1) * p
+    lo = int(np.floor(idx))
+    hi = int(np.ceil(idx))
+    frac = idx - np.floor(idx)
+    return float(v[lo] + (v[hi] - v[lo]) * frac)

@@ -1,0 +1,210 @@
+"""Tier rollup: tumbling-window continuous aggregates per conversation.
+
+This is the engine's core operator family, the Spark re-expression of the
+reference's per-tile/per-date aggregation loop
+(``/root/reference/ECOv003_L2T_STARS/process_STARS_product.py:219-262`` and
+the dense-calendar stacking in
+``process_ECOSTRESS_data_fusion_distributed_bias.jl:146-179``):
+
+- dedup of exact duplicate observations — ``VIIRS/VNP09GA.py:1138``
+  (``drop_duplicates(subset=["date_UTC","tile"])``)
+- NULL-skipping counts along time — fusion jl:262 (``sum(.!isnan.(...))``)
+- per-key inter-observation latency via ``lag`` over the stable
+  ``(ts, turn_idx)`` ordering — the reference sorts filenames for the same
+  stable-order reason (fusion jl:133)
+- exact percentiles (JVM-side ``percentile``, linear interpolation) —
+  the reference's display percentile-cut analog (``VIIRS/VNP09GA.py:184``)
+  promoted to an exact first-class statistic per SURVEY §2.4 A10
+
+Scale notes (100 TB / 10^12 turns):
+
+- Each tier is ONE shuffle: ``groupBy(conv_id, window(ts, tier))`` with all
+  statistics (counts, sums, max, exact percentiles) in a single aggregate.
+  Partial aggregation (map-side combine) applies to the decomposable stats
+  automatically; ``percentile`` buffers per-group values — bounded by
+  per-conv-per-bucket activity, not table size.
+- ``tool_counts`` (map column) needs a key-level pre-aggregate; it is an
+  optional second shuffle, off the hot path unless requested.
+- No ``collect``; no per-row Python anywhere in this module (everything is
+  whole-stage-codegen-able column expressions + JVM aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark import TIER_INTERVAL, TIERS
+
+ROLES = ("user", "assistant", "system", "tool")
+
+
+def normalize(df: DataFrame) -> DataFrame:
+    """Ingest normalization: drop exact duplicate turns.
+
+    Duplicates are exact row copies (FIXTURES.md), so any survivor carries
+    identical values — ``dropDuplicates`` on the key is deterministic in
+    effect. Mirrors the reference's catalog dedup
+    (``VIIRS/VNP09GA.py:1138``).
+    """
+    return df.dropDuplicates(["conv_id", "turn_idx"])
+
+
+def with_latency(df: DataFrame) -> DataFrame:
+    """Inter-turn latency in seconds (double), NULL for each conv's first turn.
+
+    Stable ordering is ``(ts, turn_idx)`` per the BASELINE.json input_hint;
+    computed from integer microseconds so the double division is
+    bit-reproducible across engines.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    return df.withColumn(
+        "latency_s", (us - prev_us).cast("double") / F.lit(1000000.0)
+    )
+
+
+def bucket_start(ts: Column, tier: str) -> Column:
+    """Tumbling-window bucket start, epoch-anchored (origin 1970-01-01).
+
+    Equivalent to ``F.window(ts, interval).start`` for these tiers; written
+    as integer epoch arithmetic so the DuckDB oracle can reproduce it
+    verbatim (`to_timestamp(floor(epoch(ts)/N)*N)`).
+    """
+    from ecov003_l2t_stars_spark import TIER_SECONDS
+
+    n = TIER_SECONDS[tier]
+    return F.timestamp_seconds(
+        F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(n * 1_000_000))
+        * F.lit(n)
+    )
+
+
+def _role_count(role: str) -> Column:
+    return F.count(F.when(F.col("role") == role, F.lit(1))).alias(f"n_{role}")
+
+
+def rollup_tier(
+    df_lat: DataFrame,
+    tier: str,
+    include_tool_counts: bool = False,
+) -> DataFrame:
+    """One retention tier in a single shuffle.
+
+    ``df_lat`` must be the output of :func:`with_latency` (already
+    normalized). Returns the FIXTURES.md §2 rollup schema minus the
+    gap-fill / smoothing / payload columns (added by later stages).
+    """
+    from ecov003_l2t_stars_spark import TIER_SECONDS
+
+    n = TIER_SECONDS[tier]
+    b = bucket_start(F.col("ts"), tier)
+
+    from ecov003_l2t_stars_spark.functions.percentiles import (
+        pct_from_sorted,
+        sorted_vals,
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        *[_role_count(r) for r in ROLES],
+        sorted_vals(F.col("latency_s")).alias("_lat_sorted"),
+        F.max("latency_s").alias("latency_max"),
+        F.sum("latency_s").alias("latency_sum"),
+        F.count("latency_s").alias("n_latency"),
+    ]
+    out = (
+        df_lat.groupBy(F.col("conv_id"), b.alias("bucket_start"))
+        .agg(*aggs)
+        .withColumn(
+            "bucket_end",
+            F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
+        )
+        .withColumn("latency_p50", pct_from_sorted(F.col("_lat_sorted"), 0.5))
+        .withColumn("latency_p90", pct_from_sorted(F.col("_lat_sorted"), 0.9))
+        .withColumn("latency_p99", pct_from_sorted(F.col("_lat_sorted"), 0.99))
+        .drop("_lat_sorted")
+        .withColumn("tier", F.lit(tier))
+    )
+    if include_tool_counts:
+        out = out.join(
+            tool_counts(df_lat, tier), ["conv_id", "bucket_start"], "left"
+        )
+    cols = [
+        "conv_id", "tier", "bucket_start", "bucket_end", "n_turns",
+        "n_user", "n_assistant", "n_system", "n_tool",
+        "latency_p50", "latency_p90", "latency_p99",
+        "latency_max", "latency_sum", "n_latency",
+    ]
+    if include_tool_counts:
+        cols.append("tool_counts")
+    return out.select(*cols)
+
+
+def tool_counts(df: DataFrame, tier: str) -> DataFrame:
+    """``map<tool, count>`` per (conv_id, bucket) — two-level aggregate.
+
+    Sorted entries before ``map_from_entries`` keep the map bytes
+    deterministic across shuffles (SURVEY §7.2 exact-point-match rule).
+    """
+    b = bucket_start(F.col("ts"), tier)
+    per_tool = (
+        df.where(F.col("tool").isNotNull())
+        .groupBy(F.col("conv_id"), b.alias("bucket_start"), F.col("tool"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_tool.groupBy("conv_id", "bucket_start").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("tool", "cnt")))
+        ).alias("tool_counts")
+    )
+
+
+def rollup_all_tiers(
+    df: DataFrame, include_tool_counts: bool = False
+) -> dict[str, DataFrame]:
+    """All four tiers from one normalized + latency-annotated lineage.
+
+    Percentiles are NOT decomposable across tiers (SURVEY §7.2), so every
+    tier aggregates the raw latency-annotated turns directly — one shuffle
+    per tier over the same cached lineage. Decomposable stats could cascade
+    from the finer tier (see :mod:`cascade`); recomputing them costs nothing
+    extra here because they ride the percentile shuffle.
+    """
+    lat = with_latency(normalize(df))
+    return {
+        t: rollup_tier(lat, t, include_tool_counts=include_tool_counts)
+        for t in TIERS
+    }
+
+
+def cascade_decomposable(finer: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate the decomposable statistics of a finer tier into
+    ``tier`` without touching raw data — the rollup analog of the
+    reference's fine→coarse average regrid
+    (``calibrate_fine_to_coarse.py:31-33``).
+
+    count/sum/max compose exactly; percentiles are intentionally absent
+    (recomputed from raw in :func:`rollup_tier`). Used for count-style
+    continuous aggregates and by the cascade-consistency property test.
+    """
+    b = bucket_start(F.col("bucket_start"), tier)
+    from ecov003_l2t_stars_spark import TIER_SECONDS
+
+    n = TIER_SECONDS[tier]
+    return (
+        finer.groupBy(F.col("conv_id"), b.alias("bucket_start"))
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            *[F.sum(f"n_{r}").alias(f"n_{r}") for r in ROLES],
+            F.max("latency_max").alias("latency_max"),
+            F.sum("latency_sum").alias("latency_sum"),
+            F.sum("n_latency").alias("n_latency"),
+        )
+        .withColumn(
+            "bucket_end",
+            F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
+        )
+        .withColumn("tier", F.lit(tier))
+    )

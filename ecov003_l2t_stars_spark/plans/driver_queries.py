@@ -1,0 +1,252 @@
+"""Driver-facing oracle-checked queries (SURVEY §2 operator families).
+
+Each ``q_*`` function takes ``(spark, sf_dir)`` and returns a DataFrame;
+``ORACLE_SQL`` holds the DuckDB-equivalent ANSI SQL. Conventions chosen so
+the driver's order-insensitive value-hash compare is byte-stable across
+engines (SURVEY §7.2):
+
+- bucket timestamps are emitted as BIGINT epoch seconds (``bucket_epoch_s``)
+  — avoids TIMESTAMP vs TIMESTAMPTZ representation drift between Spark and
+  DuckDB.
+- double sums go through DECIMAL so the reduction is associative and
+  order-independent, then cast back to double.
+- percentiles (linear interpolation in both engines) are rounded to 6
+  decimals to absorb last-bit formula differences.
+
+The events table stands in for the transcript stream in these checks:
+``user_id`` ≙ ``conv_id`` (series key), ``event_type`` ≙ ``role``,
+``ts`` ≙ turn timestamp. The transcript-domain pipeline itself is
+oracle-verified in ``tests/`` against pandas/DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _us(col):
+    """Epoch microseconds; casts TIMESTAMP_NTZ→TIMESTAMP (session tz is UTC)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _bucket_epoch(col, seconds: int):
+    return (F.floor(_us(col) / F.lit(seconds * 1_000_000)) * seconds).cast("long")
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+# --------------------------------------------------------------------------
+# R1: 1-minute tier rollup (SURVEY §2.4 A1/A2, M1 minimum slice)
+# --------------------------------------------------------------------------
+def q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            _bucket_epoch(F.col("ts"), 60).alias("bucket_epoch_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# R2: inter-event latency percentiles per hour (SURVEY §2.5 W7, §2.4 A10)
+# --------------------------------------------------------------------------
+def q_latency_pct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lat = ev.withColumn(
+        "latency_s",
+        (_us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(w)).cast("double")
+        / F.lit(1000000.0),
+    )
+    from ecov003_l2t_stars_spark.functions.percentiles import (
+        pct_from_sorted,
+        sorted_vals,
+    )
+
+    grouped = lat.groupBy(
+        F.col("user_id"),
+        _bucket_epoch(F.col("ts"), 3600).alias("bucket_epoch_s"),
+    ).agg(
+        F.count("latency_s").alias("n_lat"),
+        sorted_vals(F.col("latency_s")).alias("_arr"),
+        F.max("latency_s").alias("latency_max"),
+    )
+    return grouped.select(
+        "user_id",
+        "bucket_epoch_s",
+        "n_lat",
+        pct_from_sorted(F.col("_arr"), 0.5).alias("latency_p50"),
+        pct_from_sorted(F.col("_arr"), 0.9).alias("latency_p90"),
+        pct_from_sorted(F.col("_arr"), 0.99).alias("latency_p99"),
+        "latency_max",
+    )
+
+
+# --------------------------------------------------------------------------
+# R3: tier cascade — 1d stats derived by re-aggregating the Spark 1m tier
+# (SURVEY §2.4 "tier cascade"; oracle computes directly from raw rows)
+# --------------------------------------------------------------------------
+def q_rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m1 = q_rollup_1m(spark, sf_dir)
+    return m1.groupBy(
+        F.col("user_id"),
+        (F.floor(F.col("bucket_epoch_s") / F.lit(86400)) * 86400)
+        .cast("long")
+        .alias("bucket_epoch_s"),
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        *[F.sum(f"n_{t}").alias(f"n_{t}") for t in EVENT_TYPES],
+        F.sum(F.col("value_sum").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1 analog: pricing summary (scan + filter + wide aggregate;
+# SURVEY §2.2 P2/P6 scalar map + §2.4 aggregate family)
+# --------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup (exact) over documents (SURVEY §2.4 A8; training-data pipeline op)
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_text"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "rollup_1m": f"""
+        SELECT
+            user_id,
+            CAST(FLOOR(epoch_us(ts) / 60000000) * 60 AS BIGINT) AS bucket_epoch_s,
+            COUNT(*) AS n_events,
+            {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)},
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "latency_pct_1h": None,  # built below (frozen percentile formula)
+    "rollup_1d_cascade": f"""
+        SELECT
+            user_id,
+            CAST(FLOOR(epoch_us(ts) / 86400000000) * 86400 AS BIGINT) AS bucket_epoch_s,
+            COUNT(*) AS n_events,
+            {', '.join(f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)},
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "pricing_summary": """
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
+                AS DOUBLE) AS sum_charge,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT lang,
+            COUNT(*) AS n_docs,
+            COUNT(DISTINCT text) AS n_unique_text,
+            SUM(n_chars) AS sum_chars
+        FROM documents
+        GROUP BY 1
+    """,
+}
+
+
+def _latency_oracle() -> str:
+    from ecov003_l2t_stars_spark.functions.percentiles import duckdb_pct_expr
+
+    arr = "_arr"
+    return f"""
+        WITH lat AS (
+            SELECT user_id, ts,
+                CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS DOUBLE) / 1000000.0 AS latency_s
+            FROM events
+        ), grouped AS (
+            SELECT
+                user_id,
+                CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+                    AS bucket_epoch_s,
+                COUNT(latency_s) AS n_lat,
+                list_sort(list(latency_s) FILTER (latency_s IS NOT NULL))
+                    AS {arr},
+                MAX(latency_s) AS latency_max
+            FROM lat
+            GROUP BY 1, 2
+        )
+        SELECT user_id, bucket_epoch_s, n_lat,
+            {duckdb_pct_expr(arr, 0.5)} AS latency_p50,
+            {duckdb_pct_expr(arr, 0.9)} AS latency_p90,
+            {duckdb_pct_expr(arr, 0.99)} AS latency_p99,
+            latency_max
+        FROM grouped
+    """
+
+
+ORACLE_SQL["latency_pct_1h"] = _latency_oracle()
+
+
+QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "latency_pct_1h": q_latency_pct_1h,
+    "rollup_1d_cascade": q_rollup_1d_cascade,
+    "pricing_summary": q_pricing_summary,
+    "dedup_exact": q_dedup_exact,
+}
