@@ -1,0 +1,163 @@
+"""Gap-fill: dense bucket grid + locf / linear interpolation.
+
+Spark re-expression of the reference's dense-calendar alignment
+(``/root/reference/ECOv003_L2T_STARS/process_ECOSTRESS_data_fusion_distributed_bias.jl:146-179``):
+the daily axis ``dates = [start + Day(d-1) ...]`` with missing dates
+becoming all-NaN slices (jl:163-171) becomes a per-key
+``sequence()``+``explode`` bucket grid left-joined to observed tier rows;
+the observation-path "skip + observed index" variant (jl:185-219) is the
+``fill_method`` flag.
+
+Fill semantics (frozen, mirrored by the test oracle — SURVEY §7.2):
+
+- count columns (``n_turns``, per-role counts): 0 on gap rows — a bucket
+  with no observations truly has zero turns.
+- value columns (percentiles, smoothing inputs):
+  - ``locf``: last observation carried forward; NULL before the first
+    observation (leading gap → NULL + flag, the analog of the reference's
+    prior-flag for pixels with no observations, fusion jl:288-312).
+  - ``linear``: interpolate between bracketing observations; trailing
+    gaps fall back to locf; leading gaps NULL.
+- ``gap_filled`` boolean and ``fill_method`` ∈ {obs, locf, linear, NULL}.
+
+Scale notes: the grid is generated per conversation bounded by that
+conversation's observed span at the tier's granularity (never a global
+cross-join); a conversation's 1m grid over its own activity window is
+bounded by retention policy. ``sequence``/``explode`` runs inside the same
+partition as the subsequent windows (one shuffle on conv_id for the whole
+stage). ``max_buckets_per_conv`` guards runaway spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark import TIER_SECONDS
+
+COUNT_COLS = ("n_turns", "n_user", "n_assistant", "n_system", "n_tool", "n_latency")
+
+
+def dense_grid(
+    tier_df: DataFrame,
+    tier: str,
+    max_buckets_per_conv: int | None = 2_000_000,
+    grid_start=None,
+    grid_end=None,
+) -> DataFrame:
+    """Per-conv dense (conv_id, bucket_start) grid spanning min..max bucket.
+
+    ``grid_start``/``grid_end`` (python datetimes or timestamp strings)
+    override the per-conv span with a fixed job window, the way the
+    reference densifies over the full [start_date, end_date] regardless of
+    per-pixel observations (fusion jl:146-153) — this is what produces
+    leading gaps (NULL + flag).
+    """
+    n = TIER_SECONDS[tier]
+    spans = tier_df.groupBy("conv_id").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    if grid_start is not None:
+        spans = spans.withColumn("_lo", F.lit(grid_start).cast("timestamp"))
+    if grid_end is not None:
+        spans = spans.withColumn("_hi", F.lit(grid_end).cast("timestamp"))
+    if max_buckets_per_conv is not None:
+        spans = spans.where(
+            (F.unix_seconds("_hi") - F.unix_seconds("_lo")) / n
+            < F.lit(max_buckets_per_conv)
+        )
+    return spans.select(
+        "conv_id",
+        F.explode(
+            F.sequence(
+                F.unix_seconds("_lo"),
+                F.unix_seconds("_hi"),
+                F.lit(n),
+            )
+        ).alias("_bs"),
+    ).select("conv_id", F.timestamp_seconds("_bs").alias("bucket_start"))
+
+
+def gap_fill(
+    tier_df: DataFrame,
+    tier: str,
+    value_cols: tuple[str, ...] = ("latency_p50", "latency_p90", "latency_p99"),
+    method: str = "locf",
+    max_buckets_per_conv: int | None = 2_000_000,
+    grid_start=None,
+    grid_end=None,
+) -> DataFrame:
+    """Densify one tier table and fill ``value_cols`` by ``method``.
+
+    Returns the tier schema + ``gap_filled`` + ``fill_method``.
+    """
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown fill method: {method}")
+    n = TIER_SECONDS[tier]
+
+    grid = dense_grid(tier_df, tier, max_buckets_per_conv, grid_start, grid_end)
+    obs = tier_df.withColumn("_obs", F.lit(True))
+    joined = grid.join(obs, ["conv_id", "bucket_start"], "left")
+
+    idx = (F.unix_seconds("bucket_start") / n).cast("long")
+    joined = joined.withColumn("_idx", idx)
+
+    w = Window.partitionBy("conv_id").orderBy("_idx")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    is_obs = F.col("_obs").isNotNull()
+    prev_obs_idx = F.last(F.when(is_obs, F.col("_idx")), ignorenulls=True).over(w_prev)
+    next_obs_idx = F.first(F.when(is_obs, F.col("_idx")), ignorenulls=True).over(w_next)
+
+    out = joined
+    for c in COUNT_COLS:
+        if c in tier_df.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+
+    for c in value_cols:
+        prev_v = F.last(F.when(is_obs, F.col(c)), ignorenulls=True).over(w_prev)
+        if method == "locf":
+            filled = prev_v
+        else:
+            next_v = F.first(F.when(is_obs, F.col(c)), ignorenulls=True).over(w_next)
+            frac = (
+                (F.col("_idx") - prev_obs_idx).cast("double")
+                / (next_obs_idx - prev_obs_idx).cast("double")
+            )
+            filled = F.when(
+                next_obs_idx.isNotNull() & prev_obs_idx.isNotNull(),
+                prev_v + (next_v - prev_v) * frac,
+            ).otherwise(prev_v)  # trailing gap → locf; leading → NULL
+        out = out.withColumn(c, F.when(is_obs, F.col(c)).otherwise(filled))
+
+    out = (
+        out.withColumn("gap_filled", ~is_obs)
+        .withColumn(
+            "fill_method",
+            F.when(is_obs, F.lit("obs"))
+            .when(prev_obs_idx.isNotNull(), F.lit(method))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "bucket_end",
+            F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
+        )
+        .withColumn("tier", F.lit(tier))
+        .drop("_obs", "_idx")
+    )
+    return out
+
+
+def missing_buckets(tier_df: DataFrame, tier: str) -> DataFrame:
+    """Expected-vs-observed anti-join: buckets in the dense grid with no
+    observed row — the watermark-violation check, mirroring the
+    reference's missing-date accumulation + ``AuxiliaryLatency`` raise
+    (``generate_STARS_inputs.py:220-231``, ``L2T_STARS.py:357-379``).
+    """
+    grid = dense_grid(tier_df, tier)
+    return grid.join(
+        tier_df.select("conv_id", "bucket_start"),
+        ["conv_id", "bucket_start"],
+        "left_anti",
+    )

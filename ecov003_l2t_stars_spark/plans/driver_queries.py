@@ -146,6 +146,59 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gap-fill family (SURVEY §2.3 J1 calendar densify, §2.9 T3 locf/linear)
+# --------------------------------------------------------------------------
+def _hourly_value_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → hourly per-user value_sum 'tier' in the gap_fill schema."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("conv_id"),
+            F.timestamp_seconds(_bucket_epoch(F.col("ts"), 3600)).alias(
+                "bucket_start"
+            ),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    )
+
+
+def _gapfill_query(method: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ecov003_l2t_stars_spark.operators.gapfill import gap_fill
+
+        tier = _hourly_value_tier(spark, sf_dir)
+        filled = gap_fill(tier, "1h", value_cols=("value_sum",), method=method)
+        return filled.select(
+            F.col("conv_id").alias("user_id"),
+            F.unix_seconds("bucket_start").alias("bucket_epoch_s"),
+            "value_sum",
+            "gap_filled",
+            "fill_method",
+        )
+
+    return q
+
+
+q_gapfill_locf_1h = _gapfill_query("locf")
+q_gapfill_linear_1h = _gapfill_query("linear")
+
+
+def q_missing_buckets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti expected-vs-observed (SURVEY §2.3 J4 watermark check)."""
+    from ecov003_l2t_stars_spark.operators.gapfill import missing_buckets
+
+    tier = _hourly_value_tier(spark, sf_dir)
+    miss = missing_buckets(tier, "1h")
+    return miss.groupBy(F.col("conv_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup (exact) over documents (SURVEY §2.4 A8; training-data pipeline op)
 # --------------------------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,10 +296,90 @@ def _latency_oracle() -> str:
 ORACLE_SQL["latency_pct_1h"] = _latency_oracle()
 
 
+_GAPFILL_BASE = """
+    WITH agg AS (
+        SELECT user_id,
+            CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bidx,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT user_id, MIN(bidx) AS lo, MAX(bidx) AS hi FROM agg GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS bidx FROM spans
+    ), joined AS (
+        SELECT g.user_id, g.bidx, a.value_sum,
+            a.value_sum IS NOT NULL AS is_obs
+        FROM grid g LEFT JOIN agg a USING (user_id, bidx)
+    ), win AS (
+        SELECT *,
+            last_value(CASE WHEN is_obs THEN value_sum END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY bidx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS prev_v,
+            last_value(CASE WHEN is_obs THEN bidx END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY bidx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS prev_t,
+            first_value(CASE WHEN is_obs THEN value_sum END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY bidx
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS next_v,
+            first_value(CASE WHEN is_obs THEN bidx END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY bidx
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS next_t
+        FROM joined
+    )
+"""
+
+ORACLE_SQL["gapfill_locf_1h"] = _GAPFILL_BASE + """
+    SELECT user_id, bidx * 3600 AS bucket_epoch_s,
+        CASE WHEN is_obs THEN value_sum ELSE prev_v END AS value_sum,
+        NOT is_obs AS gap_filled,
+        CASE WHEN is_obs THEN 'obs'
+             WHEN prev_t IS NOT NULL THEN 'locf' END AS fill_method
+    FROM win
+"""
+
+ORACLE_SQL["gapfill_linear_1h"] = _GAPFILL_BASE + """
+    SELECT user_id, bidx * 3600 AS bucket_epoch_s,
+        CASE WHEN is_obs THEN value_sum
+             WHEN next_t IS NOT NULL AND prev_t IS NOT NULL THEN
+                prev_v + (next_v - prev_v)
+                    * (CAST(bidx - prev_t AS DOUBLE)
+                       / CAST(next_t - prev_t AS DOUBLE))
+             ELSE prev_v END AS value_sum,
+        NOT is_obs AS gap_filled,
+        CASE WHEN is_obs THEN 'obs'
+             WHEN prev_t IS NOT NULL THEN 'linear' END AS fill_method
+    FROM win
+"""
+
+ORACLE_SQL["missing_buckets_1h"] = """
+    WITH agg AS (
+        SELECT user_id,
+            CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bidx
+        FROM events GROUP BY 1
+    ), spans AS (
+        SELECT user_id, MIN(bidx) AS lo, MAX(bidx) AS hi,
+               COUNT(DISTINCT bidx) AS n_obs
+        FROM (SELECT user_id,
+                CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bidx
+              FROM events) GROUP BY 1
+    )
+    SELECT user_id, (hi - lo + 1) - n_obs AS n_missing
+    FROM spans
+    WHERE (hi - lo + 1) - n_obs > 0
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "latency_pct_1h": q_latency_pct_1h,
     "rollup_1d_cascade": q_rollup_1d_cascade,
     "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
+    "gapfill_locf_1h": q_gapfill_locf_1h,
+    "gapfill_linear_1h": q_gapfill_linear_1h,
+    "missing_buckets_1h": q_missing_buckets_1h,
 }
