@@ -1,0 +1,142 @@
+"""Kalman kernel + smoothing operator parity tests.
+
+The Spark UDF and these tests import the SAME kernel module
+(functions/kalman.py) — single source of truth, like the reference
+sharing kernels across NRT_BRDF_* variants.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark.functions.kalman import (
+    KalmanParams,
+    kalman_filter_batch,
+    kalman_filter_scalar,
+)
+from ecov003_l2t_stars_spark.operators.gapfill import gap_fill
+from ecov003_l2t_stars_spark.operators.rollup import (
+    normalize,
+    rollup_tier,
+    with_latency,
+)
+from ecov003_l2t_stars_spark.operators.smooth import (
+    posterior_state,
+    smooth_tier,
+)
+from ecov003_l2t_stars_spark.sources.transcripts import GenSpec, generate_transcripts
+
+
+def test_scalar_vs_batch_bitexact():
+    rng = np.random.default_rng(7)
+    lengths = np.array([1, 5, 40, 200, 17])
+    n, tmax = len(lengths), int(lengths.max())
+    y = np.full((n, tmax), np.nan)
+    for i, k in enumerate(lengths):
+        s = rng.normal(0.5, 0.2, size=k)
+        s[rng.random(k) < 0.3] = np.nan  # missing buckets
+        y[i, :k] = s
+    pm = rng.normal(0.1, 0.05, n)
+    pv = np.abs(rng.normal(1e-4, 1e-5, n))
+    bm = np.zeros(n)
+    bv = np.full(n, 1e-6)
+    params = KalmanParams(q_level=1e-4, q_bias=1e-6, r_obs=1e-2)
+
+    bmraw = kalman_filter_batch(y, lengths, pm, pv, bm, bv, params)
+    for i, k in enumerate(lengths):
+        sc = kalman_filter_scalar(y[i, :k], pm[i], pv[i], bm[i], bv[i], params)
+        for a, b in zip(bmraw, sc):
+            got, exp = a[i, :k], b
+            assert np.array_equal(got, exp, equal_nan=True), f"series {i}"
+
+
+def test_clamp():
+    y = np.array([5.0, 5.0, 5.0])
+    params = KalmanParams(r_obs=1e-6, clamp_lo=0.0, clamp_hi=1.0)
+    mean, *_ = kalman_filter_scalar(y, params=params)
+    assert (mean <= 1.0).all() and (mean >= 0.0).all()
+
+
+def test_converges_to_signal():
+    y = np.full(300, 2.5)
+    mean, sd, bias, _ = kalman_filter_scalar(y)
+    assert abs((mean[-1] + bias[-1]) - 2.5) < 1e-6
+    assert sd[-1] < sd[0] + 1.0  # bounded uncertainty
+
+
+@pytest.fixture(scope="module")
+def smoothed_pair(spark):
+    pdf = generate_transcripts(GenSpec(n_convs=120))
+    sdf = spark.createDataFrame(pdf)
+    tier = rollup_tier(with_latency(normalize(sdf)), "1h")
+    filled = gap_fill(tier, "1h", ("latency_p50",), method="locf")
+    sm = smooth_tier(filled, "1h", n_groups=8)
+    return sm.toPandas()
+
+
+def test_smooth_tier_matches_scalar_oracle(smoothed_pair):
+    out = smoothed_pair
+    params = KalmanParams()
+    for conv, g in out.groupby("conv_id"):
+        g = g.sort_values("bucket_start")
+        y = np.where(
+            g["n_latency"].to_numpy() > 0,
+            g["latency_sum"].to_numpy(dtype=np.float64)
+            / g["n_latency"].to_numpy(dtype=np.float64),
+            np.nan,
+        )
+        mean, sd, bias, bias_sd = kalman_filter_scalar(y, params=params)
+        assert np.array_equal(g["smooth_mean"].to_numpy(), mean, equal_nan=True)
+        assert np.array_equal(g["smooth_sd"].to_numpy(), sd, equal_nan=True)
+        assert np.array_equal(g["smooth_bias"].to_numpy(), bias, equal_nan=True)
+        assert np.array_equal(
+            g["smooth_bias_sd"].to_numpy(), bias_sd, equal_nan=True
+        )
+
+
+def test_smooth_dense_output_complete(smoothed_pair):
+    assert smoothed_pair["smooth_mean"].notna().all()
+    assert smoothed_pair["smooth_sd"].notna().all()
+
+
+def test_prior_state_flow(spark):
+    """Posterior written after window 1 becomes the prior of window 2 and
+    matches the scalar twin resumed from the same stored state."""
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for h in range(6):
+        rows.append(("P", t0 + dt.timedelta(hours=h), 2, 10.0 + h, 2))
+    tier = spark.createDataFrame(
+        rows,
+        "conv_id string, bucket_start timestamp, n_turns long, "
+        "latency_sum double, n_latency long",
+    )
+    win1 = tier.where(F.col("bucket_start") < t0 + dt.timedelta(hours=3))
+    win2 = tier.where(F.col("bucket_start") >= t0 + dt.timedelta(hours=3))
+
+    sm1 = smooth_tier(win1, "1h", n_groups=2)
+    state = posterior_state(sm1, "1h", t0 + dt.timedelta(hours=3))
+    assert state.count() == 1
+    st = state.collect()[0]
+
+    sm2 = smooth_tier(
+        win2, "1h", state_df=state, as_of=t0 + dt.timedelta(hours=3), n_groups=2
+    ).toPandas().sort_values("bucket_start")
+
+    y2 = sm2["latency_sum"].to_numpy() / sm2["n_latency"].to_numpy()
+    exp = kalman_filter_scalar(
+        y2, st.mean, st["var"], st.bias_mean, st.bias_var
+    )
+    assert np.array_equal(sm2["smooth_mean"].to_numpy(), exp[0])
+    # and differs from the default-prior run (prior actually used)
+    sm2_default = smooth_tier(win2, "1h", n_groups=2).toPandas().sort_values(
+        "bucket_start"
+    )
+    assert not np.array_equal(
+        sm2["smooth_mean"].to_numpy(), sm2_default["smooth_mean"].to_numpy()
+    )
