@@ -1,0 +1,214 @@
+"""Gorilla-style segment codec: delta-of-delta timestamps + XOR floats.
+
+Engine-new component (SURVEY §2.10: the reference persists float32
+GeoTIFF layers with external compression; a 10^12-turn tier store needs
+in-payload compression). Implements the scheme from Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database" (VLDB 2015):
+
+- timestamps (int64 epoch-micros): header stores t0 and the first delta
+  verbatim; subsequent points store the delta-of-delta in variable-width
+  classes ``0 | 10+14b | 110+20b | 1110+28b | 11110+36b | 11111+64b``
+  (widened vs the paper's seconds-resolution classes to suit micros).
+- values (float64 bit patterns): XOR with the previous value;
+  ``0`` = identical; ``10`` = meaningful bits fit the previous
+  leading/length window; ``11`` + 6-bit leading-zero count + 6-bit
+  significant-bit length + bits.
+- NaNs are canonicalized to the quiet-NaN pattern 0x7ff8000000000000
+  before encoding so round-trips are bit-stable (SURVEY §7.2).
+
+Pure-Python bit I/O over int accumulators; invoked only inside
+Arrow-batched UDFs at segment granularity (encode once per
+(conv, tier, segment)), never per Spark row.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = 0x47524C41  # "GRLA"
+_QNAN = 0x7FF8000000000000
+
+# delta-of-delta classes: (prefix_bits, prefix_len, payload_bits)
+_DOD_CLASSES = (
+    (0b10, 2, 14),
+    (0b110, 3, 20),
+    (0b1110, 4, 28),
+    (0b11110, 5, 36),
+)
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+
+    def bytes(self) -> bytes:
+        pad = (-self.nbits) % 8
+        acc = self.acc << pad
+        return (acc).to_bytes((self.nbits + pad) // 8, "big")
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        remaining = nbits
+        while remaining:
+            byte_i, bit_i = divmod(self.pos, 8)
+            avail = 8 - bit_i
+            take = min(avail, remaining)
+            byte = self.data[byte_i]
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.pos += take
+            remaining -= take
+        return out
+
+
+def _zigzag(v: int) -> int:
+    # magnitude-independent (deltas/dods of int64 values exceed int64)
+    return (v << 1) if v >= 0 else (((-v) << 1) - 1)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) if (z & 1) == 0 else -((z + 1) >> 1)
+
+
+def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode parallel int64-micros timestamps + float64 values."""
+    ts = np.asarray(ts_us, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    if ts.shape != vals.shape:
+        raise ValueError("timestamp/value length mismatch")
+    n = ts.size
+    header = struct.pack(">IQ", MAGIC, n)
+    if n == 0:
+        return header
+
+    w = _BitWriter()
+    # --- timestamps ---
+    w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    if n > 1:
+        first_delta = int(ts[1]) - int(ts[0])
+        w.write(_zigzag(first_delta), 66)  # |delta of int64s| < 2^64
+        prev_delta = first_delta
+        for i in range(2, n):
+            delta = int(ts[i]) - int(ts[i - 1])
+            dod = delta - prev_delta
+            prev_delta = delta
+            if dod == 0:
+                w.write(0, 1)
+            else:
+                z = _zigzag(dod)
+                for prefix, plen, bits in _DOD_CLASSES:
+                    if z < (1 << bits):
+                        w.write(prefix, plen)
+                        w.write(z, bits)
+                        break
+                else:
+                    # escape class: 66 bits covers zigzag of any
+                    # difference of two int64 deltas
+                    w.write(0b11111, 5)
+                    w.write(z, 66)
+
+    # --- values (XOR) ---
+    bits = vals.view(np.uint64).copy()
+    nan_mask = np.isnan(vals)
+    bits[nan_mask] = np.uint64(_QNAN)
+    prev = int(bits[0])
+    w.write(prev, 64)
+    prev_lead, prev_sig = 65, 0  # invalid window → first XOR uses control 11
+    for i in range(1, n):
+        cur = int(bits[i])
+        x = prev ^ cur
+        prev = cur
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lead = 64 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        if lead > 31:
+            lead = 31
+        sig = 64 - lead - trail
+        if (
+            prev_lead <= lead
+            and (64 - prev_lead - prev_sig) <= trail
+            and prev_sig > 0
+        ):
+            # reuse previous window
+            w.write(0b10, 2)
+            w.write(x >> (64 - prev_lead - prev_sig), prev_sig)
+        else:
+            w.write(0b11, 2)
+            w.write(lead, 6)
+            w.write(sig - 1, 6)
+            w.write(x >> trail, sig)
+            prev_lead, prev_sig = lead, sig
+    return header + w.bytes()
+
+
+def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_segment` → (ts_us int64, values float64)."""
+    magic, n = struct.unpack(">IQ", payload[:12])
+    if magic != MAGIC:
+        raise ValueError("bad magic")
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return ts, vals
+    r = _BitReader(payload[12:])
+
+    t0 = r.read(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    ts[0] = t0
+    if n > 1:
+        zd = r.read(66)
+        delta = _unzigzag(zd)
+        ts[1] = int(np.int64(ts[0] + delta))  # wraps like int64 arithmetic
+        prev_delta = delta
+        for i in range(2, n):
+            if r.read(1) == 0:
+                dod = 0
+            else:
+                cls = 0
+                while cls < 4 and r.read(1) == 1:
+                    cls += 1
+                if cls < 4:
+                    bits = _DOD_CLASSES[cls][2]
+                    dod = _unzigzag(r.read(bits))
+                else:
+                    dod = _unzigzag(r.read(66))
+            prev_delta = prev_delta + dod  # python int; may exceed int64
+            ts[i] = int(ts[i - 1]) + prev_delta
+
+    prev = r.read(64)
+    out_bits = np.empty(n, dtype=np.uint64)
+    out_bits[0] = prev
+    lead, sig = 0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out_bits[i] = prev
+            continue
+        if r.read(1) == 0:  # control 10: reuse window
+            x = r.read(sig) << (64 - lead - sig)
+        else:  # control 11: new window
+            lead = r.read(6)
+            sig = r.read(6) + 1
+            x = r.read(sig) << (64 - lead - sig)
+        prev ^= x
+        out_bits[i] = prev
+    vals[:] = out_bits.view(np.float64)
+    return ts, vals

@@ -1,0 +1,87 @@
+"""Codec round-trip property tests (encode∘decode = id, SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ecov003_l2t_stars_spark.functions.codec import (
+    _QNAN,
+    decode_segment,
+    encode_segment,
+)
+
+
+def _roundtrip(ts, vals):
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    payload = encode_segment(ts, vals)
+    ts2, vals2 = decode_segment(payload)
+    assert np.array_equal(ts, ts2)
+    # NaNs canonicalize; everything else is bit-exact
+    b1 = vals.view(np.uint64).copy()
+    b1[np.isnan(vals)] = np.uint64(_QNAN)
+    assert np.array_equal(b1, vals2.view(np.uint64))
+    return payload
+
+
+def test_empty():
+    p = encode_segment(np.array([], dtype=np.int64), np.array([]))
+    ts, vals = decode_segment(p)
+    assert ts.size == 0 and vals.size == 0
+
+
+def test_single_point():
+    _roundtrip([1735689600_000000], [3.14])
+
+
+def test_regular_cadence_compresses():
+    n = 1000
+    ts = 1735689600_000000 + np.arange(n, dtype=np.int64) * 60_000_000
+    vals = np.full(n, 42.0)
+    p = _roundtrip(ts, vals)
+    # constant cadence + constant value → ~1 bit/point each stream
+    assert len(p) < 12 + 8 * 4 + n // 2
+
+
+def test_nan_runs_and_specials():
+    vals = [1.0, np.nan, np.nan, -0.0, np.inf, -np.inf, 5e-324, 1.7e308, np.nan]
+    ts = np.cumsum(np.array([0, 1, 60, 60, 61, 59, 1000000, 1, 2], dtype=np.int64))
+    _roundtrip(ts, vals)
+
+
+def test_negative_and_unsorted_deltas():
+    ts = np.array([100, 50, 200, 199, -5, 0], dtype=np.int64)  # codec is order-agnostic
+    vals = np.array([1.0, 2.0, 2.0, 2.0000001, -3.5, 0.0])
+    _roundtrip(ts, vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_property_roundtrip(pairs):
+    if pairs:
+        ts, vals = zip(*pairs)
+    else:
+        ts, vals = [], []
+    _roundtrip(list(ts), list(vals))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_property_realistic_series(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 300))
+    ts = np.cumsum(rng.integers(0, 10**7, size=n)).astype(np.int64)
+    vals = rng.normal(size=n)
+    vals[rng.random(n) < 0.2] = np.nan
+    _roundtrip(ts, vals)
