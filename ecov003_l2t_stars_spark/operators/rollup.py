@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ecov003_l2t_stars_spark import TIER_INTERVAL, TIERS
+from ecov003_l2t_stars_spark import TIER_SECONDS, TIERS
 
 ROLES = ("user", "assistant", "system", "tool")
 
@@ -72,8 +72,6 @@ def bucket_start(ts: Column, tier: str) -> Column:
     as integer epoch arithmetic so the DuckDB oracle can reproduce it
     verbatim (`to_timestamp(floor(epoch(ts)/N)*N)`).
     """
-    from ecov003_l2t_stars_spark import TIER_SECONDS
-
     n = TIER_SECONDS[tier]
     return F.timestamp_seconds(
         F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(n * 1_000_000))
@@ -83,6 +81,32 @@ def bucket_start(ts: Column, tier: str) -> Column:
 
 def _role_count(role: str) -> Column:
     return F.count(F.when(F.col("role") == role, F.lit(1))).alias(f"n_{role}")
+
+
+def _finish_from_sorted(df: DataFrame) -> DataFrame:
+    """Derive the order-sensitive statistics from the sorted latency array.
+
+    ``latency_sum`` is a LEFT FOLD over the ASCENDING-sorted values — a
+    frozen reduction order (SURVEY §7.2), so the salted two-stage path,
+    the plain path, and the NumPy oracle all produce bit-identical sums
+    regardless of partition layout.
+    """
+    from ecov003_l2t_stars_spark.functions.percentiles import pct_from_sorted
+
+    arr = F.col("_lat_sorted")
+    return (
+        df.withColumn("latency_p50", pct_from_sorted(arr, 0.5))
+        .withColumn("latency_p90", pct_from_sorted(arr, 0.9))
+        .withColumn("latency_p99", pct_from_sorted(arr, 0.99))
+        .withColumn(
+            "latency_sum",
+            F.when(
+                F.size(arr) > 0,
+                F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x),
+            ),
+        )
+        .drop("_lat_sorted")
+    )
 
 
 def rollup_tier(
@@ -96,22 +120,16 @@ def rollup_tier(
     normalized). Returns the FIXTURES.md §2 rollup schema minus the
     gap-fill / smoothing / payload columns (added by later stages).
     """
-    from ecov003_l2t_stars_spark import TIER_SECONDS
-
     n = TIER_SECONDS[tier]
     b = bucket_start(F.col("ts"), tier)
 
-    from ecov003_l2t_stars_spark.functions.percentiles import (
-        pct_from_sorted,
-        sorted_vals,
-    )
+    from ecov003_l2t_stars_spark.functions.percentiles import sorted_vals
 
     aggs = [
         F.count(F.lit(1)).alias("n_turns"),
         *[_role_count(r) for r in ROLES],
         sorted_vals(F.col("latency_s")).alias("_lat_sorted"),
         F.max("latency_s").alias("latency_max"),
-        F.sum("latency_s").alias("latency_sum"),
         F.count("latency_s").alias("n_latency"),
     ]
     out = (
@@ -121,10 +139,7 @@ def rollup_tier(
             "bucket_end",
             F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
         )
-        .withColumn("latency_p50", pct_from_sorted(F.col("_lat_sorted"), 0.5))
-        .withColumn("latency_p90", pct_from_sorted(F.col("_lat_sorted"), 0.9))
-        .withColumn("latency_p99", pct_from_sorted(F.col("_lat_sorted"), 0.99))
-        .drop("_lat_sorted")
+        .transform(_finish_from_sorted)
         .withColumn("tier", F.lit(tier))
     )
     if include_tool_counts:
@@ -140,6 +155,70 @@ def rollup_tier(
     if include_tool_counts:
         cols.append("tool_counts")
     return out.select(*cols)
+
+
+def rollup_tier_salted(
+    df_lat: DataFrame,
+    tier: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant two-stage rollup (BASELINE.json north_rule:
+    "explicit salting of hot conversations").
+
+    Stage 1 groups by (conv_id, bucket, salt) where
+    ``salt = pmod(xxhash64(conv_id, turn_idx), n_salts)`` — a hot
+    conversation's bucket spreads across ``n_salts`` reducers. Stage 2
+    merges the partials: counts/max sum/combine exactly; the latency
+    arrays are flattened and re-sorted so the order-sensitive statistics
+    (percentiles, folded sum) are computed from the identical sorted
+    sequence the unsalted path sees — salting invariance is bit-exact
+    (property-tested), mirroring SURVEY §4.2's "salting must not break
+    per-conv stable ordering: salt only the partial-agg stage".
+
+    The reference has no skew handling (fixed tile sizes, SURVEY §4.2);
+    this is engine-new, required at 10^12-turn scale where 0.1% of convs
+    carry 1000x turns.
+    """
+    n = TIER_SECONDS[tier]
+    b = bucket_start(F.col("ts"), tier)
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_salts))
+
+    partial = (
+        df_lat.groupBy(
+            F.col("conv_id"), b.alias("bucket_start"), salt.alias("_salt")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            *[_role_count(r) for r in ROLES],
+            F.collect_list("latency_s").alias("_lat_part"),
+            F.max("latency_s").alias("latency_max"),
+            F.count("latency_s").alias("n_latency"),
+        )
+    )
+    merged = (
+        partial.groupBy("conv_id", "bucket_start")
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            *[F.sum(f"n_{r}").alias(f"n_{r}") for r in ROLES],
+            F.array_sort(F.flatten(F.collect_list("_lat_part"))).alias(
+                "_lat_sorted"
+            ),
+            F.max("latency_max").alias("latency_max"),
+            F.sum("n_latency").alias("n_latency"),
+        )
+        .withColumn(
+            "bucket_end",
+            F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
+        )
+        .transform(_finish_from_sorted)
+        .withColumn("tier", F.lit(tier))
+    )
+    return merged.select(
+        "conv_id", "tier", "bucket_start", "bucket_end", "n_turns",
+        "n_user", "n_assistant", "n_system", "n_tool",
+        "latency_p50", "latency_p90", "latency_p99",
+        "latency_max", "latency_sum", "n_latency",
+    )
 
 
 def tool_counts(df: DataFrame, tier: str) -> DataFrame:
@@ -190,8 +269,6 @@ def cascade_decomposable(finer: DataFrame, tier: str) -> DataFrame:
     continuous aggregates and by the cascade-consistency property test.
     """
     b = bucket_start(F.col("bucket_start"), tier)
-    from ecov003_l2t_stars_spark import TIER_SECONDS
-
     n = TIER_SECONDS[tier]
     return (
         finer.groupBy(F.col("conv_id"), b.alias("bucket_start"))

@@ -156,6 +156,58 @@ def test_rollup_matches_pandas_oracle(spark, gen_pair, tier, tier_s):
         assert np.all(both_nan | (e == g)), c  # bit-exact point match
 
 
+def test_salting_invariance(spark, gen_pair):
+    """Salted two-stage agg == plain agg, bit-exact on every column
+    (SURVEY §5.2 property; north_rule skew handling)."""
+    from ecov003_l2t_stars_spark.operators.rollup import rollup_tier_salted
+
+    _, sdf = gen_pair
+    lat = with_latency(normalize(sdf))
+    plain = rollup_tier(lat, "1h").toPandas()
+    salted = rollup_tier_salted(lat, "1h", n_salts=7).toPandas()
+    key = ["conv_id", "bucket_start"]
+    m = plain.merge(salted, on=key, suffixes=("_p", "_s"), how="outer",
+                    indicator=True)
+    assert (m["_merge"] == "both").all()
+    for c in ["n_turns", "n_user", "n_assistant", "n_system", "n_tool",
+              "n_latency"]:
+        assert (m[f"{c}_p"] == m[f"{c}_s"]).all(), c
+    for c in ["latency_p50", "latency_p90", "latency_p99", "latency_max",
+              "latency_sum"]:
+        p = m[f"{c}_p"].to_numpy(dtype=float)
+        s = m[f"{c}_s"].to_numpy(dtype=float)
+        assert np.all((np.isnan(p) & np.isnan(s)) | (p == s)), c
+
+
+def test_latency_sum_is_sorted_fold(spark, gen_pair):
+    """latency_sum equals a left fold over ascending-sorted latencies
+    (the frozen reduction order)."""
+    pdf, sdf = gen_pair
+    got = rollup_tier(with_latency(normalize(sdf)), "1h").toPandas()
+    got["bucket"] = got["bucket_start"].astype("int64") // 10**9
+
+    d = (
+        pdf.drop_duplicates(["conv_id", "turn_idx"])
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .copy()
+    )
+    us = d["ts"].astype("int64")
+    d["lat"] = (us - us.groupby(d["conv_id"].values).shift()) / 1e6
+    d["bucket"] = us // (3600 * 10**6) * 3600
+
+    def fold(s):
+        acc = np.float64(0.0)
+        for v in np.sort(s.dropna().to_numpy(dtype=np.float64)):
+            acc = acc + v
+        return acc if s.count() else np.nan
+
+    exp = d.groupby(["conv_id", "bucket"])["lat"].apply(fold).reset_index()
+    m = exp.merge(got[["conv_id", "bucket", "latency_sum"]], on=["conv_id", "bucket"])
+    e = m["lat"].to_numpy(dtype=float)
+    g = m["latency_sum"].to_numpy(dtype=float)
+    assert np.all((np.isnan(e) & np.isnan(g)) | (e == g))
+
+
 def test_cascade_consistency(spark, gen_pair):
     """1m→1h cascade of decomposable stats equals direct 1h rollup."""
     _, sdf = gen_pair
