@@ -1,0 +1,226 @@
+"""End-to-end rollup job: scan → normalize → tiers → gap-fill → smooth →
+payload → idempotent partitioned write + per-partition checkpoints.
+
+The engine's equivalent of the reference's PGE main flow
+(``L2T_STARS.py:113-503`` — parse config, plan date ranges, load prior,
+stage, fuse, write product, record completion) with the reference's
+filesystem-keyed resumability (``VNP43NRT/VNP43NRT.py:390-397``,
+``L2T_STARS.py:134-143``: every artifact keyed and skipped if present)
+re-expressed as a checkpoints table over conv-hash partitions:
+
+- work unit = ``conv_bucket = pmod(xxhash64(conv_id), n_buckets)`` — the
+  analog of the reference's per-tile unit. All turns of a conversation
+  live in exactly one bucket, so every per-conv computation (latency lag,
+  series smoothing) is partition-local after one repartition.
+- a completed bucket writes its tier partitions (dynamic partition
+  overwrite → idempotent re-runs) and then appends a checkpoint row
+  (job_id, partition, bucket range, rows_processed, lineage). Restart
+  skips checkpointed buckets (FIXTURES.md §4).
+- outputs are parquet directories partitioned by ``conv_bucket`` — the
+  layout an Iceberg ``bucket(N, conv_id)`` partition spec produces; the
+  write path is format-agnostic (`format="iceberg"` works unchanged when
+  a catalog is configured).
+
+Scale: the job never collects data rows; the only driver-side state is
+the checkpoint bookkeeping (n_buckets rows).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark import TIERS
+from ecov003_l2t_stars_spark.functions.kalman import KalmanParams
+from ecov003_l2t_stars_spark.operators.gapfill import gap_fill
+from ecov003_l2t_stars_spark.operators.payload import encode_payloads
+from ecov003_l2t_stars_spark.operators.rollup import (
+    normalize,
+    rollup_tier,
+    rollup_tier_salted,
+    with_latency,
+)
+from ecov003_l2t_stars_spark.operators.smooth import posterior_state, smooth_tier
+
+CODE_VERSION = "0.1.0"
+
+CHECKPOINT_SCHEMA = (
+    "job_id string, partition_id int, conv_bucket int, "
+    "bucket_range_start timestamp, bucket_range_end timestamp, "
+    "rows_processed long, input_snapshot string, code_version string, "
+    "completed_at timestamp"
+)
+
+
+@dataclass
+class RollupConfig:
+    input_path: str
+    output_dir: str
+    tiers: tuple[str, ...] = TIERS
+    n_buckets: int = 32
+    fill_method: str = "locf"
+    fill_cols: tuple[str, ...] = ("latency_p50", "latency_p90", "latency_p99")
+    salted: bool = True
+    n_salts: int = 16
+    kalman: KalmanParams = field(default_factory=KalmanParams)
+    smooth_tiers: tuple[str, ...] = ("1h", "1d")
+    payload_col: str = "latency_sum"
+    job_id: str = "rollup"
+    as_of: dt.datetime | None = None
+
+
+class RollupJob:
+    def __init__(self, spark: SparkSession, cfg: RollupConfig) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.out = Path(cfg.output_dir)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- checkpoint bookkeeping -------------------------------------------
+    @property
+    def _ckpt_path(self) -> str:
+        return str(self.out / "checkpoints")
+
+    def completed_buckets(self) -> set[int]:
+        try:
+            df = self.spark.read.parquet(self._ckpt_path)
+        except Exception:
+            return set()
+        rows = (
+            df.where(
+                (F.col("job_id") == self.cfg.job_id)
+                & (F.col("code_version") == CODE_VERSION)
+            )
+            .select("conv_bucket")
+            .distinct()
+            .collect()
+        )
+        return {r.conv_bucket for r in rows}
+
+    # -- main --------------------------------------------------------------
+    def run(self, max_buckets: int | None = None) -> dict:
+        """Process all not-yet-checkpointed conv buckets; returns metrics.
+
+        ``max_buckets`` processes only the first K remaining buckets —
+        used by resume tests to simulate a mid-job crash.
+        """
+        cfg = self.cfg
+        done = self.completed_buckets()
+        remaining = [b for b in range(cfg.n_buckets) if b not in done]
+        if max_buckets is not None:
+            remaining = remaining[:max_buckets]
+        if not remaining:
+            return {"buckets_processed": 0, "rows_processed": 0}
+
+        raw = self.spark.read.parquet(cfg.input_path)
+        bucketed = raw.withColumn(
+            "conv_bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
+        ).where(F.col("conv_bucket").isin(remaining))
+
+        # one repartition co-locates each conversation for every
+        # downstream per-conv computation (lag windows, smoothing)
+        bucketed = bucketed.repartition(cfg.n_buckets, "conv_bucket")
+        lat = with_latency(normalize(bucketed)).persist()
+
+        total_rows = lat.count()
+        as_of = cfg.as_of or dt.datetime(2100, 1, 1)
+
+        def _bucket_col():
+            # conv_bucket is a pure function of conv_id — derived, never
+            # joined (the Iceberg bucket(N, conv_id) transform analog)
+            return F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast(
+                "int"
+            )
+
+        for tier in cfg.tiers:
+            if cfg.salted:
+                tier_df = rollup_tier_salted(
+                    lat.drop("conv_bucket"), tier, n_salts=cfg.n_salts
+                )
+            else:
+                tier_df = rollup_tier(lat.drop("conv_bucket"), tier)
+            filled = gap_fill(
+                tier_df,
+                tier,
+                value_cols=cfg.fill_cols,
+                method=cfg.fill_method,
+            )
+
+            if tier in cfg.smooth_tiers:
+                out_df = smooth_tier(filled, tier, params=cfg.kalman)
+                state = posterior_state(out_df, tier, as_of)
+                state.write.mode("append").parquet(
+                    str(self.out / "rollup_state")
+                )
+            else:
+                out_df = filled
+
+            (
+                out_df.withColumn("conv_bucket", _bucket_col())
+                .repartition("conv_bucket")
+                .sortWithinPartitions("conv_id", "bucket_start")
+                .write.mode("overwrite")
+                .partitionBy("conv_bucket")
+                .parquet(str(self.out / f"rollup_{tier}"))
+            )
+
+            segs = encode_payloads(tier_df, tier, cfg.payload_col)
+            (
+                segs.withColumn("conv_bucket", _bucket_col())
+                .repartition("conv_bucket")
+                .write.mode("overwrite")
+                .partitionBy("conv_bucket")
+                .parquet(str(self.out / f"payload_{tier}"))
+            )
+
+        # checkpoint rows: one per processed bucket, written AFTER the tier
+        # partitions land (write-then-checkpoint = at-least-once, idempotent
+        # because partition overwrite is deterministic)
+        stats = (
+            lat.groupBy("conv_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows_processed"),
+                F.min("ts").alias("bucket_range_start"),
+                F.max("ts").alias("bucket_range_end"),
+            )
+            .collect()
+        )
+        by_bucket = {r.conv_bucket: r for r in stats}
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        ckpt_rows = [
+            (
+                self.cfg.job_id,
+                b,
+                b,
+                by_bucket[b].bucket_range_start if b in by_bucket else None,
+                by_bucket[b].bucket_range_end if b in by_bucket else None,
+                by_bucket[b].rows_processed if b in by_bucket else 0,
+                cfg.input_path,
+                CODE_VERSION,
+                now,
+            )
+            for b in remaining
+        ]
+        self.spark.createDataFrame(ckpt_rows, CHECKPOINT_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._ckpt_path)
+        lat.unpersist()
+
+        metrics = {
+            "buckets_processed": len(remaining),
+            "rows_processed": total_rows,
+        }
+        (self.out / "metrics").mkdir(parents=True, exist_ok=True)
+        with open(self.out / "metrics" / f"{cfg.job_id}.json", "w") as f:
+            json.dump(metrics, f)
+        return metrics
+
+
+def read_tier(spark: SparkSession, output_dir: str, tier: str) -> DataFrame:
+    return spark.read.parquet(str(Path(output_dir) / f"rollup_{tier}"))
