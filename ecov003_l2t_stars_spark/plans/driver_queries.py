@@ -21,6 +21,7 @@ oracle-verified in ``tests/`` against pandas/DuckDB oracles.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -199,6 +200,114 @@ def q_missing_buckets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Trailing-window WLS trend (SURVEY §2.4 A6 / §2.5 W1+W3: the BRDF
+# regression analog). Exponential recency weights are materialized as a
+# LITERAL table shared by both engines (no libm exp() divergence), and
+# every sum is a left fold over the bucket-ascending list, so results are
+# bit-identical.
+# --------------------------------------------------------------------------
+WLS_WINDOW = 16
+WLS_SCALE = 1.87
+WLS_MIN_OBS = 7
+_WLS_WEIGHTS = [
+    float(np.exp(-0.5 * lag / WLS_SCALE)) for lag in range(WLS_WINDOW)
+]
+
+
+def q_wls_trend_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tier = _hourly_value_tier(spark, sf_dir).select(
+        F.col("conv_id").alias("user_id"),
+        (F.unix_seconds("bucket_start") / 3600).cast("long").alias("bidx"),
+        F.col("value_sum").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bidx")
+        .rangeBetween(-(WLS_WINDOW - 1), 0)
+    )
+    wl = F.array(*[F.lit(v) for v in _WLS_WEIGHTS])
+    df = tier.withColumn(
+        "_arr", F.collect_list(F.struct("bidx", "y")).over(w)
+    )
+
+    cur = F.col("bidx")
+
+    def fold(expr_fn):
+        return F.aggregate(
+            F.transform(F.col("_arr"), expr_fn), F.lit(0.0), lambda a, x: a + x
+        )
+
+    def wgt(e):
+        return F.element_at(wl, (cur - e["bidx"]).cast("int") + F.lit(1))
+
+    def xc(e):
+        return (e["bidx"] - cur).cast("double")
+
+    sw = fold(lambda e: wgt(e))
+    sx = fold(lambda e: wgt(e) * xc(e))
+    sxx = fold(lambda e: (wgt(e) * xc(e)) * xc(e))
+    sy = fold(lambda e: wgt(e) * e["y"])
+    sxy = fold(lambda e: (wgt(e) * xc(e)) * e["y"])
+    det = sw * sxx - sx * sx
+    n_obs = F.size("_arr")
+    gate = n_obs >= WLS_MIN_OBS
+    return df.select(
+        "user_id",
+        (cur * 3600).alias("bucket_epoch_s"),
+        n_obs.alias("n_obs"),
+        F.when(gate, (sw * sxy - sx * sy) / det).alias("trend"),
+        F.when(gate, (sxx * sy - sx * sxy) / det).alias("level"),
+    )
+
+
+def _wls_oracle() -> str:
+    # DuckDB parses bare numeric literals as DECIMAL — force DOUBLE so the
+    # arithmetic matches Spark bit-for-bit
+    wlist = (
+        "([" + ", ".join(repr(v) for v in _WLS_WEIGHTS) + "]::DOUBLE[])"
+    )
+    fold = (
+        lambda inner: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"{inner}), (a, b) -> a + b)"
+    )
+    w = f"{wlist}[CAST(tb - e.sb AS INT) + 1]"
+    x = "CAST(e.sb - tb AS DOUBLE)"
+    return f"""
+        WITH tier AS (
+            SELECT user_id,
+                CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bidx,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT t.user_id, t.bidx AS tb, s.bidx AS sb, s.y
+            FROM tier t JOIN tier s
+              ON s.user_id = t.user_id
+             AND s.bidx BETWEEN t.bidx - {WLS_WINDOW - 1} AND t.bidx
+        ), g AS (
+            SELECT user_id, tb,
+                list(struct_pack(sb := sb, y := y) ORDER BY sb) AS arr
+            FROM pairs GROUP BY 1, 2
+        ), sums AS (
+            SELECT user_id, tb, len(arr) AS n_obs,
+                {fold(f"list_transform(arr, e -> {w})")} AS sw,
+                {fold(f"list_transform(arr, e -> {w} * {x})")} AS sx,
+                {fold(f"list_transform(arr, e -> ({w} * {x}) * {x})")} AS sxx,
+                {fold(f"list_transform(arr, e -> {w} * e.y)")} AS sy,
+                {fold(f"list_transform(arr, e -> ({w} * {x}) * e.y)")} AS sxy
+            FROM g
+        )
+        SELECT user_id, tb * 3600 AS bucket_epoch_s, n_obs,
+            CASE WHEN n_obs >= {WLS_MIN_OBS}
+                 THEN (sw * sxy - sx * sy) / (sw * sxx - sx * sx) END AS trend,
+            CASE WHEN n_obs >= {WLS_MIN_OBS}
+                 THEN (sxx * sy - sx * sxy) / (sw * sxx - sx * sx) END AS level
+        FROM sums
+    """
+
+
+# --------------------------------------------------------------------------
 # Dedup (exact) over documents (SURVEY §2.4 A8; training-data pipeline op)
 # --------------------------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,6 +403,7 @@ def _latency_oracle() -> str:
 
 
 ORACLE_SQL["latency_pct_1h"] = _latency_oracle()
+ORACLE_SQL["wls_trend_1h"] = _wls_oracle()
 
 
 _GAPFILL_BASE = """
@@ -382,4 +492,5 @@ QUERIES = {
     "gapfill_locf_1h": q_gapfill_locf_1h,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "missing_buckets_1h": q_missing_buckets_1h,
+    "wls_trend_1h": q_wls_trend_1h,
 }
