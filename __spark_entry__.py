@@ -28,11 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ecov003_l2t_stars_spark.plans.driver_queries import QUERIES
+    from ecov003_l2t_stars_spark.plans.driver_queries_text import QUERIES_TEXT
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_TEXT}
 
 
 def oracle_sql() -> dict[str, str]:
     from ecov003_l2t_stars_spark.plans.driver_queries import ORACLE_SQL
+    from ecov003_l2t_stars_spark.plans.driver_queries_text import (
+        ORACLE_SQL_TEXT,
+    )
 
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **ORACLE_SQL_TEXT}

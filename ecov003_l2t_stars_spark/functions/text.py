@@ -1,0 +1,163 @@
+"""Text analysis: token counting, quality scoring, fingerprints, lang-ID.
+
+Engine-new training-data-pipeline components. All hot-path scoring is
+JVM-side column expressions (split/regexp/length/fold); the lang-ID
+classifier is a broadcast-join against a tiny learned profile table
+(SURVEY §2.3 J8 broadcast pattern, the reference's LUT join
+``BRDF/BRDF.py:8-15``).
+
+Frozen formulas (mirrored in oracle SQL where checked):
+
+- token_count: whitespace tokens of trimmed text.
+- bpe_ish_count: count of matches of an approximate BPE segmentation
+  regex (word pieces + digits + punctuation).
+- quality_score in [0,1]:
+    0.4 * clamp(n_tokens / 64, 0, 1)
+  + 0.3 * (1 - punct_ratio)           punct_ratio = punct chars / chars
+  + 0.3 * stopword_ratio              share of tokens in a fixed list
+- fingerprint: polynomial rolling hash of tokens mod 2^31-1 with base
+  1000003 over byte-fold token codes (pure integer folds that never
+  overflow int64 — DuckDB errors on BIGINT overflow while Java wraps, so
+  intermediates must stay < 2^63 in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+MOD = (1 << 31) - 1
+BASE = 1000003
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), " +")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Approximate BPE piece count: 4-char word chunks + digits + punct."""
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"([A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def punct_ratio(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.when(F.length(text) > 0,
+                  (F.length(text) - F.length(no_punct)).cast("double")
+                  / F.length(text).cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    return F.when(F.size(toks) > 0,
+                  n_stop.cast("double") / F.size(toks).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    ntok = token_count(text).cast("double")
+    lengthiness = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * lengthiness
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * stopword_ratio(text)
+    )
+
+
+def _token_code(t: Column) -> Column:
+    """Integer code of a token: byte-fold (positive, engine-agnostic)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(131) + c, F.lit(MOD)),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over token codes, mod 2^31-1.
+
+    Pure integer folds → bit-identical in Spark and DuckDB.
+    """
+    codes = F.transform(tokens(text), _token_code)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * F.lit(BASE) + c, F.lit(MOD)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: character-trigram profiles learned from a labeled sample,
+# classification via broadcast-join + profile-overlap score.
+# ---------------------------------------------------------------------------
+def trigrams(text: Column) -> Column:
+    t = F.lower(F.regexp_replace(text, r"\s+", "_"))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+        lambda i: F.substr(t, i, F.lit(3)),
+    )
+
+
+def build_lang_profiles(
+    labeled: DataFrame, text_col: str = "text", lang_col: str = "lang",
+    top_n: int = 200,
+) -> DataFrame:
+    """Top-N trigrams per language with ranks (tiny table → broadcast)."""
+    from pyspark.sql import Window
+
+    tg = labeled.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(trigrams(F.col(text_col))).alias("tg"),
+    )
+    counts = tg.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("lang", "tg", "rank")
+    )
+
+
+def classify_lang(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score = sum of (top_n - rank) over profile trigrams present in the
+    doc; predicted lang = argmax (ties → lexicographically first lang)."""
+    from pyspark.sql import Window
+
+    doc_tg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(trigrams(F.col(text_col)))).alias("tg"),
+    )
+    scored = (
+        doc_tg.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.lit(200) - F.col("rank")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )

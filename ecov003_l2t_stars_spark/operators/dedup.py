@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Engine-new training-data-pipeline components (SURVEY §2.4 A8 covers only
+the reference's exact catalog dedup, ``VIIRS/VNP09GA.py:1138``; the rest
+are the scale-path generalizations a 100 TB corpus needs).
+
+Scale design:
+
+- exact dedup: hash-groupBy, one shuffle.
+- n-gram Jaccard all-pairs: the VERIFICATION path (quadratic, used on
+  candidate sets or small corpora). Shingling and set ops stay JVM-side
+  (``transform``/``array_distinct``/``array_intersect``).
+- MinHash+LSH: the SCALE path. Signatures are computed in one projection
+  (64 ``xxhash64`` min-folds per row, no shuffle), banded into
+  ``bands`` buckets, bucket self-join yields candidates (shuffle keyed on
+  (band, band_hash) — skew-safe because buckets are hash-random), then
+  candidates are verified with exact Jaccard. Recall for
+  jaccard >= 0.8 at 64/16 banding is 1 - (1-0.8^4)^16 ≈ 0.9998.
+- SimHash: 64-bit signature via per-bit majority of token hashes;
+  near-dups = signatures within Hamming distance d (banded by 16-bit
+  blocks for candidate generation — any pair within d<=3 shares a block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-char shingle array (JVM expression, no UDF)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+            lambda i: F.substr(text, i, F.lit(k)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.dropDuplicates(cols)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard (verification path)."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(id, array<long> signature): sig[j] = min over shingles of
+    xxhash64(shingle, j). One projection, no shuffle."""
+    sh = char_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(n_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: explode (band, hash(rows)) keys, self-join buckets."""
+    r = n_hashes // bands
+    banded = signatures.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("_sig")[b * r + i] for i in range(r)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bh")
+    left = banded.select("band", "bh", F.col("_id").alias("doc_a"))
+    right = banded.select("band", "bh", F.col("_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Scale-path near-dup pairs: LSH candidates verified by exact Jaccard."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sigs, n_hashes, bands)
+    sh = docs.select(
+        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
+    )
+    joined = (
+        cand.join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"), "doc_a")
+        .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_shb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (JVM expressions).
+
+    bit b of the signature = 1 iff sum over tokens of
+    (+1 if bit b of xxhash64(token) else -1) > 0.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_sum(b: int):
+        # closure factory: pyspark introspects lambda arity, so the bit
+        # index must be captured outside the (acc, x) signature
+        def step(acc, x):
+            return acc + (
+                F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("int")
+
+        return F.aggregate(h, F.lit(0), step)
+
+    bit_sums = [_bit_sum(b) for b in range(64)]
+    sig = None
+    for b, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long") * F.lit(2 ** b).cast("long") if b < 63 else (
+            F.when(s > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))
+        )
+        sig = term if sig is None else sig + term
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded by 16-bit blocks
+    (any pair with distance <= 3 agrees on at least one of 4 blocks)."""
+    sigs = simhash(docs, id_col, text_col)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "simhash", "_b.blk", "_b.bv")
+    l = blocks.select("blk", "bv", F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("_sa"))
+    r = blocks.select("blk", "bv", F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("_sb"))
+    cand = (
+        l.join(r, ["blk", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", dist)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine-new training-data-pipeline component. Two paths:
+
+- :func:`cosine_topk_bruteforce` — exact all-pairs baseline. Dot products
+  are JVM-side ``aggregate(zip_with(...))`` LEFT FOLDS in index order, so
+  the DuckDB oracle reproduces them bit-for-bit (same discipline as the
+  percentile formula, SURVEY §7.2). Quadratic: the verification path.
+- :func:`lsh_topk` — random-hyperplane LSH: sign-bit signatures bucket
+  vectors; top-k is computed within buckets only (multi-probe via several
+  independent tables). Sub-quadratic scale path; recall measured against
+  the brute-force baseline in tests.
+
+At 100 TB the brute-force path is only ever run per-bucket after LSH (or
+against a broadcast query set); norms are precomputed once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in index order (cross-engine reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector (self-join baseline).
+
+    Ties break on ascending neighbor id (deterministic).
+    """
+    n = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
+    )
+    a = n.select(F.col("_id").alias("vec_id"), F.col("_v").alias("_va"),
+                 F.col("_norm").alias("_na"))
+    b = n.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_vb"),
+                 F.col("_norm").alias("_nb"))
+    pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_bits, dim)).astype(np.float64)
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit signature per table: bucket = packed sign bits of
+    hyperplane dot products (JVM fold per plane, broadcast constants)."""
+    n_bits = planes.shape[0]
+    sig = None
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        bit = (
+            F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        term = bit * F.lit(2 ** i).cast("long")
+        sig = term if sig is None else sig + term
+    return emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket-local candidates,
+    exact cosine re-rank. Sub-quadratic: pairs only form within buckets
+    (expected bucket size n / 2^n_bits per table)."""
+    cands = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_bits, seed=seed + t)
+        sigs = lsh_signatures(emb, planes, id_col, vec_col)
+        a = sigs.select(F.col("_bucket"), F.col("_id").alias("vec_id"))
+        b = sigs.select(F.col("_bucket"), F.col("_id").alias("neighbor_id"))
+        p = a.join(b, "_bucket").where(
+            F.col("vec_id") != F.col("neighbor_id")
+        ).select("vec_id", "neighbor_id")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+
+    n = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
+    )
+    joined = (
+        cands.join(
+            n.select(F.col("_id").alias("vec_id"), F.col("_v").alias("_va"),
+                     F.col("_norm").alias("_na")),
+            "vec_id",
+        )
+        .join(
+            n.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_vb"),
+                     F.col("_norm").alias("_nb")),
+            "neighbor_id",
+        )
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,258 @@
+"""Driver-facing oracle-checked queries: dedup / similarity / text ops.
+
+Same cross-engine exactness discipline as driver_queries.py: integer or
+set-cardinality math wherever possible; float folds in frozen index
+order; deterministic tie-breaks on unique ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# Near-dup pairs: exact n-gram Jaccard (verification) and MinHash+LSH
+# (scale path; recall ≈ 0.9998 at threshold 0.8 with 64 hashes/16 bands,
+# so it is checked against the SAME exact-Jaccard oracle)
+# --------------------------------------------------------------------------
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.8)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _docs(spark, sf_dir), n_hashes=64, bands=16, k=5, threshold=0.8
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only check (xxhash64 has no DuckDB twin)."""
+    from ecov003_l2t_stars_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+            list_distinct(list_transform(
+                range(1, greatest(len(text) - 4, 1) + 1),
+                i -> substr(text, CAST(i AS INT), 5))) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+            AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# Cosine top-k (brute-force baseline; folds in index order)
+# --------------------------------------------------------------------------
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    return cosine_topk_bruteforce(_emb(spark, sf_dir), k=5)
+
+
+_COSINE_ORACLE = """
+    WITH n AS (
+        SELECT vec_id, embedding,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    ), p AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_zip(a.embedding, b.embedding),
+                    e -> CAST(e[1] AS DOUBLE) * CAST(e[2] AS DOUBLE))),
+                (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM p
+    )
+    SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-doc text quality metrics (pure row-wise expressions)
+# --------------------------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.functions.text import (
+        bpe_ish_count,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_count(t).alias("n_bpe_pieces"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+_TEXT_QUALITY_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, text,
+            string_split_regex(trim(text), ' +') AS toks,
+            regexp_extract_all(text,
+                '([A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s])', 1) AS pieces,
+            regexp_replace(text, '[^\\w\\s]', '', 'g') AS no_punct
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END
+                AS n_tokens,
+            len(pieces) AS n_bpe_pieces,
+            CASE WHEN len(text) > 0 THEN
+                CAST(len(text) - len(no_punct) AS DOUBLE)
+                    / CAST(len(text) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+            CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> t IN ('the','a','and','of','to','in','is','on',
+                               'for','with'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio
+        FROM base
+    )
+    SELECT doc_id, n_tokens, n_bpe_pieces, punct_ratio, stopword_ratio,
+        CAST(0.4 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+        + CAST(0.3 AS DOUBLE) * (1.0 - punct_ratio)
+        + CAST(0.3 AS DOUBLE) * stopword_ratio AS quality
+    FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint: polynomial rolling hash (pure int folds)
+# --------------------------------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.functions.text import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_FP_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+        FROM documents
+    ), codes AS (
+        SELECT doc_id,
+            list_transform(t, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, len(tok) + 1),
+                        i -> CAST(ascii(substr(tok, CAST(i AS INT), 1))
+                                  AS BIGINT))),
+                    (acc, c) -> (acc * 131 + c) % 2147483647)) AS cs
+        FROM toks
+    )
+    SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+            (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp
+    FROM codes
+"""
+
+
+# --------------------------------------------------------------------------
+# Language ID: trigram profiles (learned on the labeled corpus) +
+# broadcast-join classification — fully integer-scored, SQL-expressible
+# --------------------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.functions.text import (
+        build_lang_profiles,
+        classify_lang,
+    )
+
+    docs = _docs(spark, sf_dir)
+    profiles = build_lang_profiles(docs, top_n=200)
+    return classify_lang(docs, profiles)
+
+
+_LANG_ORACLE = """
+    WITH norm AS (
+        SELECT doc_id, lang,
+            lower(regexp_replace(text, '\\s+', '_', 'g')) AS t
+        FROM documents
+    ), tg AS (
+        SELECT lang, unnest(list_transform(
+            range(1, greatest(len(t) - 2, 1) + 1),
+            i -> substr(t, CAST(i AS INT), 3))) AS tg
+        FROM norm
+    ), counts AS (
+        SELECT lang, tg, count(*) AS c FROM tg GROUP BY 1, 2
+    ), prof AS (
+        SELECT lang, tg, row_number() OVER (
+            PARTITION BY lang ORDER BY c DESC, tg ASC) AS rank
+        FROM counts
+        QUALIFY rank <= 200
+    ), doc_tg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - 2, 1) + 1),
+            i -> substr(t, CAST(i AS INT), 3)))) AS tg
+        FROM norm
+    ), scored AS (
+        SELECT d.doc_id, p.lang, SUM(200 - p.rank) AS score
+        FROM doc_tg d JOIN prof p USING (tg)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang AS pred_lang, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""
+
+
+QUERIES_TEXT = {
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+}
+
+ORACLE_SQL_TEXT = {
+    "ngram_jaccard_pairs": _JACCARD_ORACLE,
+    "minhash_lsh_pairs": _JACCARD_ORACLE,
+    "cosine_topk": _COSINE_ORACLE,
+    "text_quality": _TEXT_QUALITY_ORACLE,
+    "doc_fingerprint": _FP_ORACLE,
+    "lang_id": _LANG_ORACLE,
+    # simhash_pairs: rows-only (no cross-engine hash twin)
+}

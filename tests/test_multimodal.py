@@ -1,0 +1,50 @@
+"""Multimodal plumbing: schemas, batching, deterministic stub decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark.operators.multimodal import (
+    _decode_stub,
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(spark, n=48)
+
+
+def test_extract_features_shape(spark, media):
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 48
+    for r in feats:
+        assert len(r.feature) == 16
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+        assert len(r.sha256) == 64 and r.n_bytes > 0
+
+
+def test_features_deterministic(spark, media):
+    a = extract_features(media).orderBy("media_id").collect()
+    b = extract_features(media).orderBy("media_id").collect()
+    assert [r.feature for r in a] == [r.feature for r in b]
+
+
+def test_decode_stub_raises_on_unknown_kind():
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"x", "hologram")
+
+
+def test_sample_frames(spark, media):
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    vids = {r.media_id: r.duration_ms for r in media.collect()
+            if r.kind == "video"}
+    assert {r.media_id for r in got} == set(vids)
+    for r in got:
+        assert r.n == max(vids[r.media_id] // 1000, 1)
+    # frames are non-empty byte slices
+    assert frames.where(F.length("frame_payload") == 0).count() == 0
