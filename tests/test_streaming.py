@@ -1,0 +1,111 @@
+"""Structured Streaming: incremental rollup, watermark lateness, state."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark.functions.kalman import (
+    kalman_filter_scalar,
+)
+from ecov003_l2t_stars_spark.streaming.rollup_stream import (
+    streaming_kalman,
+    streaming_rollup_1m,
+)
+
+T0 = dt.datetime(2025, 1, 1)
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _write_batch(spark, path, rows, part):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_rollup_counts_and_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: two turns in one minute bucket
+    _write_batch(spark, src, [
+        ("S", 0, "user", "t", None, T0),
+        ("S", 1, "assistant", "t", None, T0 + dt.timedelta(seconds=30)),
+        # a second conv 10 days later moves the watermark far past T0
+        ("T", 0, "user", "t", None, T0 + dt.timedelta(days=10)),
+    ], 1)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            streaming_rollup_1m(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out = spark.read.parquet(sink)
+    first = out.where(F.col("conv_id") == "S").collect()
+    # S bucket is older than watermark (10 days behind max ts) → finalized
+    assert len(first) == 1
+    assert first[0].n_turns == 2 and first[0].n_user == 1
+
+    # batch 2: a LATE row for S, ~10 days behind the checkpointed
+    # watermark → dropped (the engine's VIIRS_GIVEUP_DAYS analog)
+    _write_batch(spark, src, [
+        ("S", 2, "user", "t", None, T0 + dt.timedelta(seconds=40)),
+        ("T", 1, "assistant", "t", None, T0 + dt.timedelta(days=10, seconds=5)),
+    ], 2)
+    run_once()  # same checkpoint: watermark persists across restarts
+    out2 = spark.read.parquet(sink)
+    s_rows = out2.where(F.col("conv_id") == "S").collect()
+    # the late S row must not re-open or duplicate the finalized bucket
+    assert len(s_rows) == 1 and s_rows[0].n_turns == 2
+
+
+def test_streaming_kalman_matches_batch_kernel(spark, tmp_path):
+    src = str(tmp_path / "ksrc")
+    ys = [1.0, 2.0, 1.5, 3.0, 2.5, 2.0]
+    rows = [
+        ("K", T0 + dt.timedelta(minutes=i), float(y)) for i, y in enumerate(ys)
+    ]
+    # two separate files → two groups of data within one availableNow run
+    spark.createDataFrame(rows[:3], "conv_id string, ts timestamp, y double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[3:], "conv_id string, ts timestamp, y double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "conv_id string, ts timestamp, y double"
+    ).parquet(src)
+    q = (
+        streaming_kalman(stream)
+        .writeStream.format("memory")
+        .queryName("ksm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "kck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM ksm ORDER BY ts").toPandas()
+    )
+    exp_mean, exp_sd, exp_bias, exp_bias_sd = kalman_filter_scalar(
+        np.array(ys)
+    )
+    assert np.array_equal(got["smooth_mean"].to_numpy(), exp_mean)
+    assert np.array_equal(got["smooth_sd"].to_numpy(), exp_sd)
+    assert np.array_equal(got["smooth_bias"].to_numpy(), exp_bias)
