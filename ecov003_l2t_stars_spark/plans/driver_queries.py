@@ -319,7 +319,132 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Join / set-op family (SURVEY §2.3 J3/J4/J7/J8, §2.7 U1)
+# --------------------------------------------------------------------------
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join with broadcast dimensions (J8: the reference's
+    tiny-LUT join, ``BRDF/BRDF.py:8-15``)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J4: the reference's missing-arrival check,
+    ``L2T_STARS.py:357-379``)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_orders_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (U3: date-membership intersect, fusion jl:317-318)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    heavy = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    sel = orders.join(
+        heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_latest_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user last observation (J5 as-of / W6 last-observation index:
+    ``last() over rowsBetween(unboundedPreceding, 0)`` at the final row)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            _us(F.col("ts")).alias("last_ts_us"),
+        )
+    )
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + dropDuplicates (U1: catalog concat+dedup,
+    ``VIIRS/VNP09GA.py:1138``): overlapping slices collapse exactly."""
+    ev = _events(spark, sf_dir)
+    first_half = ev.where(F.col("event_id") % 3 <= 1)
+    second_half = ev.where(F.col("event_id") % 3 >= 1)  # overlap at ==1
+    both = first_half.unionByName(second_half).dropDuplicates(["event_id"])
+    return both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "revenue_by_nation": """
+        SELECT n.n_name AS nation,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+    "customers_without_orders": """
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+        GROUP BY 1
+    """,
+    "orders_with_heavy_items": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY 1
+    """,
+    "latest_event_type": """
+        SELECT user_id, event_type AS last_event_type,
+            epoch_us(ts) AS last_ts_us
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM events
+        ) WHERE rn = 1
+    """,
+    "union_dedup": """
+        WITH merged AS (
+            SELECT * FROM events WHERE event_id % 3 <= 1
+            UNION
+            SELECT * FROM events WHERE event_id % 3 >= 1
+        )
+        SELECT event_type, COUNT(*) AS n_events,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM merged GROUP BY 1
+    """,
     "rollup_1m": f"""
         SELECT
             user_id,
@@ -493,4 +618,9 @@ QUERIES = {
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "missing_buckets_1h": q_missing_buckets_1h,
     "wls_trend_1h": q_wls_trend_1h,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_with_heavy_items": q_orders_with_heavy_items,
+    "latest_event_type": q_latest_event_type,
+    "union_dedup": q_union_dedup,
 }

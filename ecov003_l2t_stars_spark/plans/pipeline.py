@@ -66,8 +66,13 @@ class RollupConfig:
     fill_method: str = "locf"
     fill_cols: tuple[str, ...] = ("latency_p50", "latency_p90", "latency_p99")
     salted: bool = True
-    n_salts: int = 16
+    n_salts: int = 8
     kalman: KalmanParams = field(default_factory=KalmanParams)
+    # Densify + smooth only these tiers. The finest tier stays SPARSE on
+    # purpose: a dense per-minute grid over each conv's span is a row
+    # explosion at 10^12-turn scale (43200 rows/conv/month of zeros); the
+    # reference likewise densifies only the axis its smoothing pass
+    # consumes (fusion jl:146-153).
     smooth_tiers: tuple[str, ...] = ("1h", "1d")
     payload_col: str = "latency_sum"
     job_id: str = "rollup"
@@ -123,12 +128,32 @@ class RollupJob:
             F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
         ).where(F.col("conv_bucket").isin(remaining))
 
-        # one repartition co-locates each conversation for every
-        # downstream per-conv computation (lag windows, smoothing)
-        bucketed = bucketed.repartition(cfg.n_buckets, "conv_bucket")
+        # ONE upfront hash repartition by conv_id serves every downstream
+        # stage shuffle-free: HashPartitioning(conv_id) satisfies the
+        # dedup's ClusteredDistribution(conv_id, turn_idx), the latency
+        # window's (conv_id), and each tier's groupBy(conv_id, bucket) —
+        # the grouping keys are supersets of the partitioning key. The
+        # whole 4-tier rollup then runs on the cached lineage with no
+        # further exchanges (verified via .explain in tests).
+        n_part = max(
+            cfg.n_buckets,
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        bucketed = bucketed.repartition(n_part, "conv_id")
         lat = with_latency(normalize(bucketed)).persist()
 
-        total_rows = lat.count()
+        # one pass serves both the row count and the per-bucket
+        # checkpoint stats (no separate count() job)
+        stats = (
+            lat.groupBy("conv_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows_processed"),
+                F.min("ts").alias("bucket_range_start"),
+                F.max("ts").alias("bucket_range_end"),
+            )
+            .collect()
+        )
+        total_rows = sum(r.rows_processed for r in stats)
         as_of = cfg.as_of or dt.datetime(2100, 1, 1)
 
         def _bucket_col():
@@ -145,21 +170,21 @@ class RollupJob:
                 )
             else:
                 tier_df = rollup_tier(lat.drop("conv_bucket"), tier)
-            filled = gap_fill(
-                tier_df,
-                tier,
-                value_cols=cfg.fill_cols,
-                method=cfg.fill_method,
-            )
 
             if tier in cfg.smooth_tiers:
+                filled = gap_fill(
+                    tier_df,
+                    tier,
+                    value_cols=cfg.fill_cols,
+                    method=cfg.fill_method,
+                )
                 out_df = smooth_tier(filled, tier, params=cfg.kalman)
                 state = posterior_state(out_df, tier, as_of)
                 state.write.mode("append").parquet(
                     str(self.out / "rollup_state")
                 )
             else:
-                out_df = filled
+                out_df = tier_df
 
             (
                 out_df.withColumn("conv_bucket", _bucket_col())

@@ -31,7 +31,13 @@ inp = sys.argv[2]
 cores = int(master.split("[")[1].rstrip("]"))
 spark = get_spark(app_name=f"scaling-{{cores}}", master=master,
                   shuffle_partitions=max(cores * 2, 8),
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf={{
+                      "spark.ui.showConsoleProgress": "false",
+                      # the input is one ~120MB parquet file; the default
+                      # 128MB maxPartitionBytes would scan it in ONE task —
+                      # a serial section that poisons the scaling ratio
+                      "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 
 # warmup: touch the input so OS cache state matches between runs
@@ -59,9 +65,20 @@ finally:
 
 def run_level(master: str, inp: str) -> dict:
     script = WORKER.format(repo=str(REPO))
+    cores = int(master.split("[")[1].rstrip("]"))
+    # taskset pins the WHOLE process tree (JVM GC/netty threads, Python
+    # workers) to exactly N cores — local[N] alone only caps task slots,
+    # so without pinning the "small cluster" silently borrows the other
+    # 30 cores for GC/compression and the scaling ratio is meaningless.
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
+           script, master, inp]
+    import os
+
+    env = dict(os.environ,
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")  # pin BLAS like the reference
     out = subprocess.run(
-        [sys.executable, "-c", script, master, inp],
-        capture_output=True, text=True, timeout=3600,
+        cmd, capture_output=True, text=True, timeout=3600, env=env,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):

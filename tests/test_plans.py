@@ -1,0 +1,83 @@
+"""Physical-plan shape guards (the .explain discipline, SURVEY §4).
+
+These tests pin the optimizer behavior the engine's scale story depends
+on: predicate/column pushdown reaching the parquet scan, the rollup
+running shuffle-free on a conv_id-partitioned lineage, and the lang-ID
+profile join broadcasting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark.operators.rollup import (
+    normalize,
+    rollup_tier,
+    with_latency,
+)
+from ecov003_l2t_stars_spark.sources.transcripts import GenSpec, generate_transcripts
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", _plan(df)))
+
+
+def test_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ev.where(F.col("event_type") == "click").select("user_id")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+    # column pruning: scan reads only the two needed columns
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan
+
+
+def test_rollup_single_exchange_after_repartition(spark):
+    """On a conv_id-partitioned lineage the whole rollup is shuffle-free:
+    dedup, latency window, and tier agg all reuse HashPartitioning(conv_id)."""
+    sdf = spark.createDataFrame(generate_transcripts(GenSpec(n_convs=50)))
+    pre = sdf.repartition(4, "conv_id")
+    tier = rollup_tier(with_latency(normalize(pre)), "1h")
+    assert _n_exchanges(tier) == 1  # only the explicit repartition
+
+
+def test_rollup_from_raw_two_exchanges(spark):
+    """Without pre-partitioning: dedup keys + window key = 2 exchanges,
+    and the tier agg reuses the window's conv_id partitioning."""
+    sdf = spark.createDataFrame(generate_transcripts(GenSpec(n_convs=50)))
+    tier = rollup_tier(with_latency(normalize(sdf)), "1h")
+    assert _n_exchanges(tier) == 2
+
+
+def test_lang_profiles_broadcast(spark):
+    from ecov003_l2t_stars_spark.functions.text import (
+        build_lang_profiles,
+        classify_lang,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = classify_lang(docs, build_lang_profiles(docs))
+    assert "BroadcastHashJoin" in _plan(pred)
+
+
+def test_whole_stage_codegen_in_rollup(spark):
+    import contextlib
+    import io
+
+    sdf = spark.createDataFrame(generate_transcripts(GenSpec(n_convs=50)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        tier = rollup_tier(with_latency(normalize(sdf)), "1h")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            tier.explain(mode="codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+        assert m and int(m.group(1)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
