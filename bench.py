@@ -67,8 +67,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # quadratic-by-design verification paths (their LSH scale twins are
+    # benchmarked instead); still correctness-checked at sf0.01
+    bench_skip = {"ngram_jaccard_pairs", "cosine_topk"}
+
     # --- driver oracle queries over the sf tables -------------------------
-    for name, fn in QUERIES.items():
+    from ecov003_l2t_stars_spark.plans.driver_queries_text import QUERIES_TEXT
+
+    all_queries = {**QUERIES, **QUERIES_TEXT}
+    for name, fn in all_queries.items():
+        if name in bench_skip:
+            continue
         df = fn(spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -320,6 +320,156 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scalar map family (SURVEY §2.2): JSON access, bit-unpack predicate (P5),
+# range clamp (P6), sentinel->NULL + mean imputation (P1/P12)
+# --------------------------------------------------------------------------
+def q_flags_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    flag = F.shiftright(k, 2).bitwiseAND(F.lit(3))  # P5 bit-unpack
+    clamped = F.least(F.greatest(F.col("value"), F.lit(1.0)), F.lit(9.0))
+    # sentinel: value > 9 treated as missing (P1), imputed with the
+    # global decimal-exact mean (P12 mean-imputation, BRDF.py:27-45)
+    cleaned = F.when(F.col("value") <= 9, F.col("value"))
+    mean_val = ev.agg(
+        (
+            F.sum(
+                F.when(F.col("value") <= 9, F.col("value")).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.when(F.col("value") <= 9, F.lit(1))).cast("double")
+        )
+    ).collect()[0][0]
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        flag.alias("cloud_flag"),
+        (flag > 0).alias("masked"),
+        clamped.alias("value_clamped"),
+        F.coalesce(cleaned, F.lit(mean_val)).alias("value_imputed"),
+    )
+
+
+def _flags_oracle() -> str:
+    return """
+        WITH m AS (
+            SELECT CAST(SUM(CAST(CASE WHEN value <= 9 THEN value END
+                        AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(CASE WHEN value <= 9 THEN 1 END) AS DOUBLE)
+                   AS mean_val
+            FROM events
+        )
+        SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+            (CAST(json_extract_string(props, '$.k') AS BIGINT) >> 2) & 3
+                AS cloud_flag,
+            ((CAST(json_extract_string(props, '$.k') AS BIGINT) >> 2) & 3) > 0
+                AS masked,
+            least(greatest(value, CAST(1.0 AS DOUBLE)), CAST(9.0 AS DOUBLE))
+                AS value_clamped,
+            COALESCE(CASE WHEN value <= 9 THEN value END,
+                     (SELECT mean_val FROM m)) AS value_imputed
+        FROM events
+    """
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS calibration (SURVEY §2.4 A5: the fine-to-coarse calibration
+# regression, calibrate_fine_to_coarse.py:36-58, with its min-obs guard).
+# Explicit normal-equation formula over DECIMAL sums (regr_* twins exist
+# in both engines but differ in float reduction order).
+# --------------------------------------------------------------------------
+def q_calibration_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    x = F.col("l_quantity").cast("decimal(12,3)")
+    y = F.col("l_extendedprice").cast("decimal(14,3)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    det = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    guard = F.col("n") >= 30  # reference: identity below 30 pairs
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.when(guard, slope).otherwise(F.lit(1.0)).alias("slope"),
+        F.when(guard, intercept).otherwise(F.lit(0.0)).alias("intercept"),
+    )
+
+
+def _calibration_oracle() -> str:
+    return """
+        WITH g AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,3))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))
+                       * CAST(l_quantity AS DECIMAL(12,3))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,3))
+                       * CAST(l_extendedprice AS DECIMAL(14,3))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, n,
+            CASE WHEN n >= 30 THEN
+                (CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n AS DOUBLE) * sxx - sx * sx)
+            ELSE CAST(1.0 AS DOUBLE) END AS slope,
+            CASE WHEN n >= 30 THEN
+                (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                / CAST(n AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS intercept
+        FROM g
+    """
+
+
+# --------------------------------------------------------------------------
+# Derived ratios per bucket (SURVEY §2.2 P8 band-math analog:
+# tool-turn share / activity composition)
+# --------------------------------------------------------------------------
+def q_role_share_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = q_rollup_1d_cascade(spark, sf_dir)
+    nd = F.col("n_events").cast("double")
+    return daily.select(
+        "user_id",
+        "bucket_epoch_s",
+        "n_events",
+        (F.col("n_click").cast("double") / nd).alias("click_share"),
+        (F.col("n_error").cast("double") / nd).alias("error_share"),
+        (
+            (F.col("n_purchase") + F.col("n_signup")).cast("double") / nd
+        ).alias("conversion_share"),
+    )
+
+
+def _role_share_oracle() -> str:
+    return """
+        WITH daily AS (
+            SELECT user_id,
+                CAST(FLOOR(epoch_us(ts) / 86400000000) * 86400 AS BIGINT)
+                    AS bucket_epoch_s,
+                COUNT(*) AS n_events,
+                COUNT(*) FILTER (event_type = 'click') AS n_click,
+                COUNT(*) FILTER (event_type = 'error') AS n_error,
+                COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                COUNT(*) FILTER (event_type = 'signup') AS n_signup
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket_epoch_s, n_events,
+            CAST(n_click AS DOUBLE) / CAST(n_events AS DOUBLE) AS click_share,
+            CAST(n_error AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_share,
+            CAST(n_purchase + n_signup AS DOUBLE) / CAST(n_events AS DOUBLE)
+                AS conversion_share
+        FROM daily
+    """
+
+
+# --------------------------------------------------------------------------
 # Join / set-op family (SURVEY §2.3 J3/J4/J7/J8, §2.7 U1)
 # --------------------------------------------------------------------------
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +679,9 @@ def _latency_oracle() -> str:
 
 ORACLE_SQL["latency_pct_1h"] = _latency_oracle()
 ORACLE_SQL["wls_trend_1h"] = _wls_oracle()
+ORACLE_SQL["flags_decode"] = _flags_oracle()
+ORACLE_SQL["calibration_regression"] = _calibration_oracle()
+ORACLE_SQL["role_share_1d"] = _role_share_oracle()
 
 
 _GAPFILL_BASE = """
@@ -623,4 +776,7 @@ QUERIES = {
     "orders_with_heavy_items": q_orders_with_heavy_items,
     "latest_event_type": q_latest_event_type,
     "union_dedup": q_union_dedup,
+    "flags_decode": q_flags_decode,
+    "calibration_regression": q_calibration_regression,
+    "role_share_1d": q_role_share_1d,
 }
