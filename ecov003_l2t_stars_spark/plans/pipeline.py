@@ -170,6 +170,10 @@ class RollupJob:
                 )
             else:
                 tier_df = rollup_tier(lat.drop("conv_bucket"), tier)
+            # gap_fill consumes the tier twice (grid spans + observations)
+            # and the payload encoder a third time — persist so the
+            # aggregate runs once per tier
+            tier_df = tier_df.persist()
 
             if tier in cfg.smooth_tiers:
                 filled = gap_fill(
@@ -203,6 +207,7 @@ class RollupJob:
                 .partitionBy("conv_bucket")
                 .parquet(str(self.out / f"payload_{tier}"))
             )
+            tier_df.unpersist()
 
         # checkpoint rows: one per processed bucket, written AFTER the tier
         # partitions land (write-then-checkpoint = at-least-once, idempotent
