@@ -1,0 +1,93 @@
+"""Retention/downsample enforcement tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecov003_l2t_stars_spark.plans.pipeline import RollupConfig, RollupJob, read_tier
+from ecov003_l2t_stars_spark.plans.retention import (
+    RetentionPolicy,
+    compact_tier,
+    downsample_then_expire,
+    enforce_retention,
+)
+from ecov003_l2t_stars_spark.sources.transcripts import (
+    GenSpec,
+    write_transcripts_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def job_out(spark, tmp_path_factory):
+    inp = tmp_path_factory.mktemp("rin") / "t.parquet"
+    write_transcripts_parquet(str(inp), GenSpec(n_convs=150))
+    out = str(tmp_path_factory.mktemp("rout"))
+    cfg = RollupConfig(str(inp), out, n_buckets=4, job_id="ret")
+    RollupJob(spark, cfg).run()
+    return out
+
+
+def test_policy_validation():
+    RetentionPolicy().validate()
+    bad = RetentionPolicy(
+        keep={"1m": dt.timedelta(days=30), "1h": dt.timedelta(days=7),
+              "1d": None, "30d": None}
+    )
+    with pytest.raises(ValueError):
+        bad.validate()
+
+
+def test_enforce_and_idempotence(spark, job_out):
+    # generator window starts 2025-01-01; as_of a week in → expire most 1m
+    as_of = dt.datetime(2025, 1, 25)
+    policy = RetentionPolicy(
+        keep={"1m": dt.timedelta(days=7), "1h": dt.timedelta(days=90),
+              "1d": None, "30d": None}
+    )
+    before_1m = read_tier(spark, job_out, "1m").count()
+    before_1h = read_tier(spark, job_out, "1h").count()
+
+    dropped = enforce_retention(spark, job_out, as_of, policy)
+    assert dropped["1m"] > 0
+    assert dropped["1h"] == 0  # inside its 90d window
+
+    after = read_tier(spark, job_out, "1m")
+    cutoff = as_of - dt.timedelta(days=7)
+    assert after.where(F.col("bucket_end") <= F.lit(cutoff)).count() == 0
+    assert after.count() == before_1m - dropped["1m"]
+    assert read_tier(spark, job_out, "1h").count() == before_1h
+
+    # idempotent: second run drops nothing
+    again = enforce_retention(spark, job_out, as_of, policy)
+    assert again["1m"] == 0
+
+
+def test_downsample_coverage_audit(spark, job_out):
+    """Every expiring 1m row is covered by an existing 1h bucket."""
+    as_of = dt.datetime(2025, 1, 25)
+    uncovered = downsample_then_expire(
+        spark, job_out, "1m", "1h", as_of,
+        RetentionPolicy(keep={"1m": dt.timedelta(days=7),
+                              "1h": dt.timedelta(days=90),
+                              "1d": None, "30d": None}),
+    )
+    assert uncovered.count() == 0
+
+
+def test_compaction_preserves_rows(spark, job_out):
+    t = read_tier(spark, job_out, "1h")
+    before = t.count()
+    compact_tier(spark, job_out, "1h")
+    after = read_tier(spark, job_out, "1h")
+    assert after.count() == before
+    # one file per partition dir (plus _SUCCESS etc. at root)
+    import glob
+    from pathlib import Path
+
+    parts = glob.glob(f"{job_out}/rollup_1h/conv_bucket=*/")
+    for p in parts:
+        files = [f for f in Path(p).iterdir() if f.suffix == ".parquet"]
+        assert len(files) == 1, p
