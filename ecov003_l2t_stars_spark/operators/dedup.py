@@ -72,15 +72,23 @@ def minhash_signatures(
     k: int = 5,
 ) -> DataFrame:
     """(id, array<long> signature): sig[j] = min over shingles of
-    xxhash64(shingle, j). One projection, no shuffle."""
-    sh = char_shingles(F.col(text_col), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(n_hashes)
-        ]
+    xxhash64(shingle, j). One projection, no shuffle.
+
+    The shingle array is materialized as a column first — referencing a
+    computed expression from inside the 64 transforms would re-shingle
+    the text 64 times (Catalyst inlines, no CSE inside lambdas)."""
+
+    def _minhash(j: int):
+        def h(s):
+            return F.xxhash64(s, F.lit(j))
+
+        return F.array_min(F.transform(F.col("_sh"), h))
+
+    sig = F.array(*[_minhash(j) for j in range(n_hashes)])
+    return (
+        docs.withColumn("_sh", char_shingles(F.col(text_col), k))
+        .select(F.col(id_col).alias("_id"), sig.alias("_sig"))
     )
-    return docs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
 
 
 def lsh_candidate_pairs(
@@ -123,15 +131,57 @@ def minhash_lsh_dedup(
     k: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Scale-path near-dup pairs: LSH candidates verified by exact Jaccard."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    """Scale-path near-dup pairs: LSH candidates, signature pre-filter,
+    exact-Jaccard verification.
+
+    On self-similar corpora the banding emits many low-similarity
+    candidates (a shared-vocabulary corpus produced 500k candidates for
+    ~250 true pairs at 5000 docs). Before the expensive exact set
+    intersection, candidates are screened by the minhash ESTIMATE of
+    jaccard (fraction of agreeing signature components — 64 integer
+    comparisons): a true j>=0.8 pair passes est>=0.55 with
+    P(miss) ~ 1e-6 (Binomial(64, 0.8) below 36), while j<=0.3 noise
+    passes with P ~ 3e-5. Exact verification then runs on the survivors
+    only (measured 74.5s -> ~15s at 5000 docs)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k).persist()
     cand = lsh_candidate_pairs(sigs, n_hashes, bands)
+
+    est_min = int((threshold - 0.25) * n_hashes)
+    screened = (
+        cand.join(
+            sigs.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb")),
+            "doc_b",
+        )
+        .withColumn(
+            "_agree",
+            F.aggregate(
+                F.zip_with(
+                    "_siga", "_sigb",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .where(F.col("_agree") >= est_min)
+        .select("doc_a", "doc_b")
+    )
+
     sh = docs.select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
     )
     joined = (
-        cand.join(sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"), "doc_a")
-        .join(sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_shb"), "doc_b")
+        screened.join(
+            sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"),
+            "doc_a",
+        ).join(
+            sh.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sh", "_shb"),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
@@ -152,8 +202,10 @@ def simhash(
     bit b of the signature = 1 iff sum over tokens of
     (+1 if bit b of xxhash64(token) else -1) > 0.
     """
+    # materialize token hashes once — the 64 per-bit folds would each
+    # re-tokenize and re-hash otherwise (no CSE inside lambdas)
     toks = F.split(F.trim(F.col(text_col)), " +")
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+    docs = docs.withColumn("_h", F.transform(toks, lambda t: F.xxhash64(t)))
 
     def _bit_sum(b: int):
         # closure factory: pyspark introspects lambda arity, so the bit
@@ -163,7 +215,7 @@ def simhash(
                 F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
             ).cast("int")
 
-        return F.aggregate(h, F.lit(0), step)
+        return F.aggregate(F.col("_h"), F.lit(0), step)
 
     bit_sums = [_bit_sum(b) for b in range(64)]
     sig = None
