@@ -15,6 +15,8 @@ into (conv_id, bucket_ts, value) rows for round-trip testing
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,6 +41,9 @@ SEGMENT_SCHEMA = StructType(
         StructField("segment_start", TimestampType()),
         StructField("n_points", LongType()),
         StructField("payload", BinaryType()),
+        # integrity checksum (SURVEY §2.1 S11: the reference's POSIX
+        # cksum manifest, cksum.py:9-66)
+        StructField("crc32", LongType()),
     ]
 )
 
@@ -96,17 +101,21 @@ def encode_payloads(
             np.concatenate(([True], keys[1:] != keys[:-1], [True]))
         )
         for a, b in zip(bounds[:-1], bounds[1:]):
+            payload = encode_segment(ts_us_all[a:b], vals_all[a:b])
             out.append(
                 (
                     pdf["conv_id"].iat[a],
                     tier,
                     pd.Timestamp(int(pdf["_seg"].iat[a]), unit="s"),
                     b - a,
-                    encode_segment(ts_us_all[a:b], vals_all[a:b]),
+                    payload,
+                    zlib.crc32(payload),
                 )
             )
         return pd.DataFrame(
-            out, columns=["conv_id", "tier", "segment_start", "n_points", "payload"]
+            out,
+            columns=["conv_id", "tier", "segment_start", "n_points",
+                     "payload", "crc32"],
         )
 
     return df.groupBy("_grp").applyInPandas(enc, SEGMENT_SCHEMA)
@@ -119,7 +128,13 @@ def decode_payloads(segments: DataFrame) -> DataFrame:
         for pdf in it:
             frames = []
             for r in pdf.itertuples(index=False):
-                ts_us, vals = decode_segment(bytes(r.payload))
+                payload = bytes(r.payload)
+                if hasattr(r, "crc32") and zlib.crc32(payload) != r.crc32:
+                    raise ValueError(
+                        f"payload corruption: crc mismatch for "
+                        f"{r.conv_id}/{r.tier}"
+                    )
+                ts_us, vals = decode_segment(payload)
                 frames.append(
                     pd.DataFrame(
                         {

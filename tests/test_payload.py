@@ -46,6 +46,33 @@ def test_roundtrip_on_tier(spark):
     assert seg_pdf["n_points"].sum() == len(exp)
 
 
+def test_crc_detects_corruption(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("C", t0 + dt.timedelta(minutes=i), float(i)) for i in range(50)]
+    tier = spark.createDataFrame(
+        rows, "conv_id string, bucket_start timestamp, v double"
+    )
+    segs = encode_payloads(tier, "1m", "v", n_groups=2)
+    # valid round-trip passes
+    assert decode_payloads(segs).count() == 50
+    # flip a payload byte → decode must fail loudly
+    corrupted = segs.withColumn(
+        "payload",
+        F.concat(
+            F.expr("substring(payload, 1, length(payload) - 1)"),
+            F.lit(bytes([0xFF])),
+        ),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="crc|corruption|Py4J"):
+        decode_payloads(corrupted).collect()
+
+
 def test_compression_ratio(spark):
     """Regular minute-cadence series should compress well below raw width."""
     import datetime as dt
