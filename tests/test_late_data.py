@@ -75,7 +75,9 @@ def test_unaffected_convs_untouched(spark, tmp_path):
     one = pdf[pdf.conv_id == pdf.conv_id.iloc[0]].head(1).copy()
     one["turn_idx"] = np.int32(999)
     one["turn_idx"] = one["turn_idx"].astype("int32")
-    inc.update(spark.createDataFrame(one))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    inc.update(spark.createDataFrame(one, schema))
     after = _tier_pdf(inc.read_tier("1h"))
 
     touched = one["conv_id"].iloc[0]
