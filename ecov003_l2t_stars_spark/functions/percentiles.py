@@ -57,6 +57,60 @@ def duckdb_pct_expr(arr_sql: str, p: float) -> str:
     )
 
 
+def fold_sum(arr: Column) -> Column:
+    """Left fold over an (ascending-sorted) array — frozen sum order."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def var_from_sorted(arr: Column) -> Column:
+    """Bessel-corrected sample variance with a frozen reduction order
+    (SURVEY §2.4 A3/A4: ``var(y; corrected=true)``, VNP43NRT.jl:386).
+
+    mean = foldsum(v)/n; var = foldsum((v - mean)^2) / (n - 1), both
+    folds ascending — reproducible in DuckDB/NumPy verbatim.
+    """
+    n = F.size(arr)
+    mean = fold_sum(arr) / n.cast("double")
+    ss = F.aggregate(
+        F.transform(arr, lambda x: (x - mean) * (x - mean)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 1, ss / (n - F.lit(1)).cast("double"))
+
+
+def duckdb_var_expr(arr_sql: str) -> str:
+    """DuckDB twin of :func:`var_from_sorted` over a sorted list expr."""
+    n = f"len({arr_sql})"
+    fold = (
+        lambda inner: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"{inner}), (a, b) -> a + b)"
+    )
+    mean = f"({fold(arr_sql)} / CAST({n} AS DOUBLE))"
+    ss = fold(
+        f"list_transform({arr_sql}, x -> (x - {mean}) * (x - {mean}))"
+    )
+    return (
+        f"CASE WHEN {n} > 1 THEN {ss} / CAST({n} - 1 AS DOUBLE) END"
+    )
+
+
+def np_var_sorted(values: np.ndarray) -> float:
+    """NumPy twin (left folds over sorted values)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = v.size
+    if n <= 1:
+        return float("nan")
+    acc = np.float64(0.0)
+    for x in v:
+        acc = acc + x
+    mean = acc / np.float64(n)
+    ss = np.float64(0.0)
+    for x in v:
+        ss = ss + (x - mean) * (x - mean)
+    return float(ss / np.float64(n - 1))
+
+
 def np_pct(values: np.ndarray, p: float) -> float:
     """NumPy twin of the frozen formula (test oracle)."""
     v = np.sort(np.asarray(values, dtype=np.float64))

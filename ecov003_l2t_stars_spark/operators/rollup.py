@@ -91,7 +91,10 @@ def _finish_from_sorted(df: DataFrame) -> DataFrame:
     the plain path, and the NumPy oracle all produce bit-identical sums
     regardless of partition layout.
     """
-    from ecov003_l2t_stars_spark.functions.percentiles import pct_from_sorted
+    from ecov003_l2t_stars_spark.functions.percentiles import (
+        pct_from_sorted,
+        var_from_sorted,
+    )
 
     arr = F.col("_lat_sorted")
     return (
@@ -105,6 +108,7 @@ def _finish_from_sorted(df: DataFrame) -> DataFrame:
                 F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x),
             ),
         )
+        .withColumn("latency_var", var_from_sorted(arr))
         .drop("_lat_sorted")
     )
 
@@ -150,7 +154,7 @@ def rollup_tier(
         "conv_id", "tier", "bucket_start", "bucket_end", "n_turns",
         "n_user", "n_assistant", "n_system", "n_tool",
         "latency_p50", "latency_p90", "latency_p99",
-        "latency_max", "latency_sum", "n_latency",
+        "latency_max", "latency_sum", "latency_var", "n_latency",
     ]
     if include_tool_counts:
         cols.append("tool_counts")
@@ -217,7 +221,7 @@ def rollup_tier_salted(
         "conv_id", "tier", "bucket_start", "bucket_end", "n_turns",
         "n_user", "n_assistant", "n_system", "n_tool",
         "latency_p50", "latency_p90", "latency_p99",
-        "latency_max", "latency_sum", "n_latency",
+        "latency_max", "latency_sum", "latency_var", "n_latency",
     )
 
 

@@ -93,6 +93,8 @@ def q_latency_pct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted_vals(F.col("latency_s")).alias("_arr"),
         F.max("latency_s").alias("latency_max"),
     )
+    from ecov003_l2t_stars_spark.functions.percentiles import var_from_sorted
+
     return grouped.select(
         "user_id",
         "bucket_epoch_s",
@@ -101,6 +103,7 @@ def q_latency_pct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct_from_sorted(F.col("_arr"), 0.9).alias("latency_p90"),
         pct_from_sorted(F.col("_arr"), 0.99).alias("latency_p99"),
         "latency_max",
+        var_from_sorted(F.col("_arr")).alias("latency_var"),
     )
 
 
@@ -646,7 +649,10 @@ ORACLE_SQL: dict[str, str] = {
 
 
 def _latency_oracle() -> str:
-    from ecov003_l2t_stars_spark.functions.percentiles import duckdb_pct_expr
+    from ecov003_l2t_stars_spark.functions.percentiles import (
+        duckdb_pct_expr,
+        duckdb_var_expr,
+    )
 
     arr = "_arr"
     return f"""
@@ -672,7 +678,8 @@ def _latency_oracle() -> str:
             {duckdb_pct_expr(arr, 0.5)} AS latency_p50,
             {duckdb_pct_expr(arr, 0.9)} AS latency_p90,
             {duckdb_pct_expr(arr, 0.99)} AS latency_p99,
-            latency_max
+            latency_max,
+            {duckdb_var_expr(arr)} AS latency_var
         FROM grouped
     """
 

@@ -57,6 +57,7 @@ class GenSpec:
     n_convs: int = 1000
     mean_turns: float = 14.0
     seed: int = 42
+    conv_offset: int = 0  # conv-id namespace offset for chunked generation
     hot_frac: float = 0.001
     hot_multiplier: int = 1000
     hot_cap: int = 20000
@@ -183,7 +184,12 @@ def generate_transcripts(spec: GenSpec = GenSpec()) -> pd.DataFrame:
     df = pd.DataFrame(
         {
             "conv_id": pd.array(
-                np.char.add("conv", np.char.zfill(row_conv.astype("U8"), 8))
+                np.char.add(
+                    "conv",
+                    np.char.zfill(
+                        (row_conv + spec.conv_offset).astype("U8"), 8
+                    ),
+                )
             ),
             "turn_idx": turn_idx.astype(np.int32),
             "role": roles[role_code],

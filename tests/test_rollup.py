@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from ecov003_l2t_stars_spark.functions.percentiles import np_pct
+from ecov003_l2t_stars_spark.functions.percentiles import np_pct, np_var_sorted
 from ecov003_l2t_stars_spark.operators.rollup import (
     cascade_decomposable,
     normalize,
@@ -126,6 +126,7 @@ def _pandas_oracle(pdf: pd.DataFrame, tier_s: int) -> pd.DataFrame:
                 "latency_p90": np_pct(lats, 0.9) if lats.size else np.nan,
                 "latency_p99": np_pct(lats, 0.99) if lats.size else np.nan,
                 "latency_max": lats.max() if lats.size else np.nan,
+                "latency_var": np_var_sorted(lats) if lats.size > 1 else np.nan,
                 "n_latency": lats.size,
             }
         )
@@ -149,7 +150,8 @@ def test_rollup_matches_pandas_oracle(spark, gen_pair, tier, tier_s):
     assert (m["_merge"] == "both").all()
     for c in ["n_turns", "n_user", "n_assistant", "n_system", "n_tool", "n_latency"]:
         assert (m[f"{c}_e"] == m[f"{c}_g"]).all(), c
-    for c in ["latency_p50", "latency_p90", "latency_p99", "latency_max"]:
+    for c in ["latency_p50", "latency_p90", "latency_p99", "latency_max",
+              "latency_var"]:
         e = m[f"{c}_e"].to_numpy()
         g = m[f"{c}_g"].to_numpy()
         both_nan = np.isnan(e) & np.isnan(g)
@@ -173,7 +175,7 @@ def test_salting_invariance(spark, gen_pair):
               "n_latency"]:
         assert (m[f"{c}_p"] == m[f"{c}_s"]).all(), c
     for c in ["latency_p50", "latency_p90", "latency_p99", "latency_max",
-              "latency_sum"]:
+              "latency_sum", "latency_var"]:
         p = m[f"{c}_p"].to_numpy(dtype=float)
         s = m[f"{c}_s"].to_numpy(dtype=float)
         assert np.all((np.isnan(p) & np.isnan(s)) | (p == s)), c
