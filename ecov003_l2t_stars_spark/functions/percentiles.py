@@ -62,15 +62,20 @@ def fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def var_from_sorted(arr: Column) -> Column:
+def var_from_sorted(arr: Column, mean: Column) -> Column:
     """Bessel-corrected sample variance with a frozen reduction order
     (SURVEY §2.4 A3/A4: ``var(y; corrected=true)``, VNP43NRT.jl:386).
 
     mean = foldsum(v)/n; var = foldsum((v - mean)^2) / (n - 1), both
     folds ascending — reproducible in DuckDB/NumPy verbatim.
+
+    ``mean`` MUST be a materialized column (``withColumn`` it from
+    ``fold_sum(arr) / size(arr)`` first): Catalyst inlines outer computed
+    expressions into the lambda with no CSE, so passing the fold
+    expression directly would re-sum the array once PER ELEMENT —
+    O(n^2) per bucket (4e8 ops for a hot conversation's 30d bucket).
     """
     n = F.size(arr)
-    mean = fold_sum(arr) / n.cast("double")
     ss = F.aggregate(
         F.transform(arr, lambda x: (x - mean) * (x - mean)),
         F.lit(0.0),

@@ -108,8 +108,16 @@ def _finish_from_sorted(df: DataFrame) -> DataFrame:
                 F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x),
             ),
         )
-        .withColumn("latency_var", var_from_sorted(arr))
-        .drop("_lat_sorted")
+        .withColumn(
+            "_lat_mean",
+            F.when(
+                F.size(arr) > 0,
+                F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(arr).cast("double"),
+            ),
+        )
+        .withColumn("latency_var", var_from_sorted(arr, F.col("_lat_mean")))
+        .drop("_lat_sorted", "_lat_mean")
     )
 
 

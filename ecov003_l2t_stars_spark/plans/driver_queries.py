@@ -95,6 +95,14 @@ def q_latency_pct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ecov003_l2t_stars_spark.functions.percentiles import var_from_sorted
 
+    grouped = grouped.withColumn(
+        "_mean",
+        F.when(
+            F.size("_arr") > 0,
+            F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x)
+            / F.size("_arr").cast("double"),
+        ),
+    )
     return grouped.select(
         "user_id",
         "bucket_epoch_s",
@@ -103,7 +111,7 @@ def q_latency_pct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct_from_sorted(F.col("_arr"), 0.9).alias("latency_p90"),
         pct_from_sorted(F.col("_arr"), 0.99).alias("latency_p99"),
         "latency_max",
-        var_from_sorted(F.col("_arr")).alias("latency_var"),
+        var_from_sorted(F.col("_arr"), F.col("_mean")).alias("latency_var"),
     )
 
 

