@@ -39,10 +39,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only check (xxhash64 has no DuckDB twin)."""
+    """rows-only check (xxhash64 has no DuckDB twin). max_hamming=3 is
+    the exact-recall bound of 16-bit block banding (pigeonhole: any pair
+    within distance 3 shares at least one of 4 blocks)."""
     from ecov003_l2t_stars_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 _JACCARD_ORACLE = """
