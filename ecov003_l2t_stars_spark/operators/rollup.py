@@ -270,6 +270,76 @@ def rollup_all_tiers(
     }
 
 
+def rollup_tier_with_digest(
+    df_lat: DataFrame, tier: str, **kwargs
+) -> DataFrame:
+    """Tier rollup that keeps the sorted latency array (``lat_digest``).
+
+    The digest makes the tier CASCADABLE for order statistics: merging
+    children's sorted multisets yields exactly the parent bucket's sorted
+    multiset, so :func:`cascade_with_digest` computes exact percentiles
+    for coarser tiers without rescanning raw turns — the engine's answer
+    to SURVEY §7.2 "percentiles don't compose". Digest size is bounded by
+    per-conv-per-bucket latency count (the same bound the plain rollup's
+    aggregation buffer already carries).
+    """
+    from ecov003_l2t_stars_spark.functions.percentiles import sorted_vals
+
+    n = TIER_SECONDS[tier]
+    b = bucket_start(F.col("ts"), tier)
+    out = (
+        df_lat.groupBy(F.col("conv_id"), b.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            *[_role_count(r) for r in ROLES],
+            sorted_vals(F.col("latency_s")).alias("lat_digest"),
+            F.max("latency_s").alias("latency_max"),
+            F.count("latency_s").alias("n_latency"),
+        )
+        .withColumn(
+            "bucket_end",
+            F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
+        )
+        .withColumn("_lat_sorted", F.col("lat_digest"))
+        .transform(_finish_from_sorted)
+        .withColumn("tier", F.lit(tier))
+    )
+    return out
+
+
+def cascade_with_digest(finer: DataFrame, tier: str) -> DataFrame:
+    """Exact full cascade (counts, max, folded sum, variance, AND
+    percentiles) from a finer tier's digests — no raw rescan.
+
+    ``array_sort(flatten(collect_list(lat_digest)))`` reproduces the
+    parent bucket's ascending latency sequence exactly, so every
+    order-sensitive statistic matches the direct-from-raw rollup
+    bit-for-bit (property-tested). This is the scale path for coarse
+    tiers: the 30d tier reads the 1h tier (~1/50th the rows of raw).
+    """
+    b = bucket_start(F.col("bucket_start"), tier)
+    n = TIER_SECONDS[tier]
+    return (
+        finer.groupBy(F.col("conv_id"), b.alias("bucket_start"))
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            *[F.sum(f"n_{r}").alias(f"n_{r}") for r in ROLES],
+            F.array_sort(F.flatten(F.collect_list("lat_digest"))).alias(
+                "lat_digest"
+            ),
+            F.max("latency_max").alias("latency_max"),
+            F.sum("n_latency").alias("n_latency"),
+        )
+        .withColumn(
+            "bucket_end",
+            F.timestamp_seconds(F.unix_seconds("bucket_start") + F.lit(n)),
+        )
+        .withColumn("_lat_sorted", F.col("lat_digest"))
+        .transform(_finish_from_sorted)
+        .withColumn("tier", F.lit(tier))
+    )
+
+
 def cascade_decomposable(finer: DataFrame, tier: str) -> DataFrame:
     """Re-aggregate the decomposable statistics of a finer tier into
     ``tier`` without touching raw data — the rollup analog of the

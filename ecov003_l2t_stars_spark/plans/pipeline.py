@@ -89,6 +89,13 @@ class RollupConfig:
     # branches); measured 3x SLOWER on a single local JVM (threads thrash
     # one block manager / shuffle disk), so off by default here.
     parallel_tiers: bool = False
+    # digest cascade: aggregate raw turns ONCE (finest tier, with sorted
+    # latency digests) and derive every coarser tier by merging digests —
+    # exact for ALL statistics incl. percentiles (property-tested), and
+    # at 10^12-turn scale the 30d tier reads the 1d tier instead of raw.
+    # Mutually exclusive with salting (digest merges are their own
+    # two-stage combine; AQE covers residual skew).
+    cascade_coarse: bool = True
 
 
 class RollupJob:
@@ -178,17 +185,40 @@ class RollupJob:
                 "int"
             )
 
-        def process_tier(tier: str) -> None:
-            if cfg.salted and tier in cfg.salt_tiers:
-                tier_df = rollup_tier_salted(
-                    lat.drop("conv_bucket"), tier, n_salts=cfg.n_salts
+        digests: dict[str, object] = {}
+        _persisted: list = []
+        tier_order = list(cfg.tiers)
+
+        def _build_tier(tier: str):
+            if cfg.cascade_coarse:
+                from ecov003_l2t_stars_spark.operators.rollup import (
+                    cascade_with_digest,
+                    rollup_tier_with_digest,
                 )
+
+                idx = tier_order.index(tier)
+                if idx > 0 and tier_order[idx - 1] in digests:
+                    full = cascade_with_digest(digests[tier_order[idx - 1]], tier)
+                else:
+                    full = rollup_tier_with_digest(lat.drop("conv_bucket"), tier)
+                full = full.persist()
+                digests[tier] = full
+                _persisted.append(full)
+                return full.drop("lat_digest")
+            if cfg.salted and tier in cfg.salt_tiers:
+                out = rollup_tier_salted(
+                    lat.drop("conv_bucket"), tier, n_salts=cfg.n_salts
+                ).persist()
             else:
-                tier_df = rollup_tier(lat.drop("conv_bucket"), tier)
-            # gap_fill consumes the tier twice (grid spans + observations)
-            # and the payload encoder a third time — persist so the
-            # aggregate runs once per tier
-            tier_df = tier_df.persist()
+                out = rollup_tier(lat.drop("conv_bucket"), tier).persist()
+            _persisted.append(out)
+            return out
+
+        def process_tier(tier: str) -> None:
+            # persisted either way: gap_fill consumes the tier twice
+            # (grid spans + observations), the payload encoder a third
+            # time, and the digest chain a fourth
+            tier_df = _build_tier(tier)
 
             if tier in cfg.smooth_tiers:
                 filled = gap_fill(
@@ -225,9 +255,8 @@ class RollupJob:
                 .partitionBy("conv_bucket")
                 .parquet(str(self.out / f"payload_{tier}"))
             )
-            tier_df.unpersist()
 
-        if cfg.parallel_tiers and len(cfg.tiers) > 1:
+        if cfg.parallel_tiers and not cfg.cascade_coarse and len(cfg.tiers) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(cfg.tiers)) as pool:
@@ -268,6 +297,8 @@ class RollupJob:
         self.spark.createDataFrame(ckpt_rows, CHECKPOINT_SCHEMA).write.mode(
             "append"
         ).parquet(self._ckpt_path)
+        for df_ in _persisted:
+            df_.unpersist()
         lat.unpersist()
 
         metrics = {

@@ -224,6 +224,35 @@ def test_cascade_consistency(spark, gen_pair):
     assert d.exceptAll(c).count() == 0 and c.exceptAll(d).count() == 0
 
 
+def test_digest_cascade_exact_percentiles(spark, gen_pair):
+    """Merging finer-tier sorted digests reproduces the direct coarse
+    rollup bit-for-bit INCLUDING percentiles/variance — the no-raw-rescan
+    cascade (SURVEY §7.2 'percentiles don't compose' answer)."""
+    from ecov003_l2t_stars_spark.operators.rollup import (
+        cascade_with_digest,
+        rollup_tier_with_digest,
+    )
+
+    _, sdf = gen_pair
+    lat = with_latency(normalize(sdf))
+    fine = rollup_tier_with_digest(lat, "1m")
+    casc = cascade_with_digest(fine, "1h").toPandas()
+    direct = rollup_tier(lat, "1h").toPandas()
+
+    key = ["conv_id", "bucket_start"]
+    m = direct.merge(casc, on=key, suffixes=("_d", "_c"), how="outer",
+                     indicator=True)
+    assert (m["_merge"] == "both").all()
+    for c in ["n_turns", "n_user", "n_assistant", "n_system", "n_tool",
+              "n_latency"]:
+        assert (m[f"{c}_d"] == m[f"{c}_c"]).all(), c
+    for c in ["latency_p50", "latency_p90", "latency_p99", "latency_max",
+              "latency_sum", "latency_var"]:
+        d = m[f"{c}_d"].to_numpy(dtype=float)
+        g = m[f"{c}_c"].to_numpy(dtype=float)
+        assert np.all((np.isnan(d) & np.isnan(g)) | (d == g)), c
+
+
 def test_all_tiers_shapes(spark, gen_pair):
     _, sdf = gen_pair
     tiers = rollup_all_tiers(sdf)
