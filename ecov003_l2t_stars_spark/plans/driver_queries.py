@@ -481,6 +481,47 @@ def _role_share_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# Sessionization (engine-new; gaps-and-islands, 30-min inactivity)
+# --------------------------------------------------------------------------
+def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.operators.sessions import session_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"), "ts",
+        F.col("event_id").alias("turn_idx"),
+    )
+    out = session_stats(ev, timeout_s=1800)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "session_id", "n_turns", "start_us", "end_us", "duration_s",
+    )
+
+
+_SESSION_ORACLE = """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+            CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE) / 1e6
+                AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+            SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_turns,
+        MIN(epoch_us(ts)) AS start_us,
+        MAX(epoch_us(ts)) AS end_us,
+        CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS DOUBLE) / 1e6
+            AS duration_s
+    FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Join / set-op family (SURVEY §2.3 J3/J4/J7/J8, §2.7 U1)
 # --------------------------------------------------------------------------
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +738,7 @@ ORACLE_SQL["wls_trend_1h"] = _wls_oracle()
 ORACLE_SQL["flags_decode"] = _flags_oracle()
 ORACLE_SQL["calibration_regression"] = _calibration_oracle()
 ORACLE_SQL["role_share_1d"] = _role_share_oracle()
+ORACLE_SQL["sessionize_30m"] = _SESSION_ORACLE
 
 
 _GAPFILL_BASE = """
@@ -794,4 +836,5 @@ QUERIES = {
     "flags_decode": q_flags_decode,
     "calibration_regression": q_calibration_regression,
     "role_share_1d": q_role_share_1d,
+    "sessionize_30m": q_sessionize_30m,
 }
