@@ -1,0 +1,85 @@
+"""Quickstart: the full engine surface in one script.
+
+    python examples/quickstart.py
+
+Generates a small deterministic transcript table, runs the checkpointed
+rollup job (4 tiers + gap-fill + Kalman smoothing + Gorilla payloads),
+then demonstrates reads, gap-filled series, session windows, retention,
+and an incremental late-data update.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ecov003_l2t_stars_spark.operators.payload import decode_payloads  # noqa: E402
+from ecov003_l2t_stars_spark.operators.sessions import session_stats  # noqa: E402
+from ecov003_l2t_stars_spark.plans.pipeline import (  # noqa: E402
+    RollupConfig,
+    RollupJob,
+    read_tier,
+)
+from ecov003_l2t_stars_spark.plans.retention import (  # noqa: E402
+    RetentionPolicy,
+    enforce_retention,
+)
+from ecov003_l2t_stars_spark.session import get_spark  # noqa: E402
+from ecov003_l2t_stars_spark.sources.transcripts import (  # noqa: E402
+    GenSpec,
+    write_transcripts_parquet,
+)
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="quickstart_"))
+
+    # 1. input: deterministic transcripts (conv_id, turn_idx, role, text,
+    #    tool, ts) — swap for your own Iceberg/parquet table
+    inp = work / "transcripts.parquet"
+    n = write_transcripts_parquet(str(inp), GenSpec(n_convs=300))
+    print(f"input: {n} turns")
+
+    # 2. the checkpointed rollup job
+    out = str(work / "tiers")
+    cfg = RollupConfig(str(inp), out, n_buckets=8, job_id="demo")
+    print("job metrics:", RollupJob(spark, cfg).run())
+    print("resume is a no-op:", RollupJob(spark, cfg).run())
+
+    # 3. read a tier: per-conv continuous aggregates
+    h1 = read_tier(spark, out, "1h")
+    h1.select("conv_id", "bucket_start", "n_turns", "n_tool",
+              "latency_p50", "smooth_mean", "gap_filled").show(5)
+
+    # 4. payload round-trip (Gorilla-compressed series)
+    segs = spark.read.parquet(f"{out}/payload_1h")
+    print("payload segments:", segs.count(),
+          "bytes:", segs.agg(F.sum(F.length("payload"))).collect()[0][0])
+    decode_payloads(segs.limit(2)).show(4)
+
+    # 5. session windows over raw turns
+    raw = spark.read.parquet(str(inp))
+    session_stats(raw, timeout_s=1800).orderBy(
+        F.col("duration_s").desc()
+    ).show(3)
+
+    # 6. retention: expire 1m buckets older than 7 days
+    dropped = enforce_retention(
+        spark, out, dt.datetime(2025, 1, 25), RetentionPolicy()
+    )
+    print("retention dropped:", dropped)
+
+    spark.stop()
+    print("done; outputs in", work)
+
+
+if __name__ == "__main__":
+    main()
