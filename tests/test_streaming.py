@@ -75,6 +75,47 @@ def test_streaming_rollup_counts_and_watermark(spark, tmp_path):
     assert len(s_rows) == 1 and s_rows[0].n_turns == 2
 
 
+def test_streaming_kalman_state_survives_restart(spark, tmp_path):
+    """GroupState (x, b, full 2x2 covariance) persists across query
+    restarts: two runs over two file batches produce the same posterior
+    sequence as one batch filter over the full series (≙ the reference's
+    prior reload between daily runs, load_prior.py)."""
+    src = str(tmp_path / "rsrc")
+    ys = [1.0, 2.0, 1.5, 3.0, 2.5, 2.0, 4.0, 3.5]
+    rows = [("R", T0 + dt.timedelta(minutes=i), float(y))
+            for i, y in enumerate(ys)]
+    sch = "conv_id string, ts timestamp, y double"
+    ck = str(tmp_path / "rck")
+    sink = str(tmp_path / "rsink")
+
+    def run_once():
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = (
+            streaming_kalman(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows[:4], sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+    spark.createDataFrame(rows[4:], sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(sink).orderBy("ts").toPandas()
+    exp_mean, exp_sd, exp_bias, _ = kalman_filter_scalar(np.array(ys))
+    assert len(got) == len(ys)
+    assert np.array_equal(got["smooth_mean"].to_numpy(), exp_mean)
+    assert np.array_equal(got["smooth_sd"].to_numpy(), exp_sd)
+    assert np.array_equal(got["smooth_bias"].to_numpy(), exp_bias)
+
+
 def test_streaming_kalman_matches_batch_kernel(spark, tmp_path):
     src = str(tmp_path / "ksrc")
     ys = [1.0, 2.0, 1.5, 3.0, 2.5, 2.0]
