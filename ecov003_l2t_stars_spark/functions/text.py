@@ -89,6 +89,28 @@ def _token_code(t: Column) -> Column:
     )
 
 
+def token_hash62(t: Column) -> Column:
+    """62-bit cross-engine token hash: two independent 31-bit polynomial
+    byte-folds (bases 1000003 / 131, both mod 2^31-1) packed hi*2^31+lo.
+
+    Chosen over ``xxhash64`` for SimHash so the whole signature is
+    reproducible in ANSI SQL (DuckDB oracle twin). Always positive and
+    < 2^62, so every intermediate stays inside BIGINT in both engines.
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
+    )
+
+    def fold(base: int) -> Column:
+        def step(acc, c):
+            return F.pmod(acc * F.lit(base) + c, F.lit(MOD))
+
+        return F.aggregate(chars, F.lit(0).cast("long"), step)
+
+    return fold(BASE) * F.lit(1 << 31).cast("long") + fold(131)
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash over token codes, mod 2^31-1.
 
@@ -149,9 +171,14 @@ def classify_lang(
     profiles: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    top_n: int = 200,
 ) -> DataFrame:
     """Score = sum of (top_n - rank) over profile trigrams present in the
-    doc; predicted lang = argmax (ties → lexicographically first lang)."""
+    doc; predicted lang = argmax (ties → lexicographically first lang).
+
+    ``top_n`` must match the value the profiles were built with
+    (``build_lang_profiles``) — ranks run 1..top_n, so a mismatched
+    value skews (or sign-flips) the per-trigram weights."""
     from pyspark.sql import Window
 
     doc_tg = docs.withColumn("_t", norm_text(F.col(text_col))).select(
@@ -161,7 +188,7 @@ def classify_lang(
     scored = (
         doc_tg.join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "lang")
-        .agg(F.sum(F.lit(200) - F.col("rank")).alias("score"))
+        .agg(F.sum(F.lit(top_n) - F.col("rank")).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("lang").asc()

@@ -47,8 +47,18 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.8,
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
-    """All-pairs exact n-gram Jaccard (verification path)."""
+    """All-pairs exact n-gram Jaccard (verification path).
+
+    Quadratic by design: guarded by ``max_rows`` (one cheap count job)
+    so it cannot be launched accidentally on a large table. Pass
+    ``max_rows=None`` to opt out; ``minhash_lsh_dedup`` is the unbounded
+    scale path.
+    """
+    from ecov003_l2t_stars_spark.operators.similarity import _guard_quadratic
+
+    _guard_quadratic("jaccard_pairs", docs, max_rows)
     sh = docs.select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
     )
@@ -192,20 +202,32 @@ def minhash_lsh_dedup(
     )
 
 
+SIMHASH_BITS = 62
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (JVM expressions).
+    """62-bit SimHash over whitespace tokens (JVM expressions).
 
     bit b of the signature = 1 iff sum over tokens of
-    (+1 if bit b of xxhash64(token) else -1) > 0.
+    (+1 if bit b of token_hash62(token) else -1) > 0.
+
+    Uses the cross-engine ``token_hash62`` fold (two 31-bit polynomial
+    byte-folds packed into one positive BIGINT) instead of ``xxhash64``
+    so the full signature — and therefore the near-pair output — has an
+    exact ANSI-SQL oracle twin. 62 bits keeps the signature positive
+    (no sign-bit special case) at a negligible collision-probability
+    cost vs 64.
     """
-    # materialize token hashes once — the 64 per-bit folds would each
+    # materialize token hashes once — the 62 per-bit folds would each
     # re-tokenize and re-hash otherwise (no CSE inside lambdas)
+    from ecov003_l2t_stars_spark.functions.text import token_hash62
+
     toks = F.split(F.trim(F.col(text_col)), " +")
-    docs = docs.withColumn("_h", F.transform(toks, lambda t: F.xxhash64(t)))
+    docs = docs.withColumn("_h", F.transform(toks, token_hash62))
 
     def _bit_sum(b: int):
         # closure factory: pyspark introspects lambda arity, so the bit
@@ -217,11 +239,10 @@ def simhash(
 
         return F.aggregate(F.col("_h"), F.lit(0), step)
 
-    bit_sums = [_bit_sum(b) for b in range(64)]
     sig = None
-    for b, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long") * F.lit(2 ** b).cast("long") if b < 63 else (
-            F.when(s > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))
+    for b in range(SIMHASH_BITS):
+        term = F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
@@ -234,7 +255,9 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded by 16-bit blocks
-    (any pair with distance <= 3 agrees on at least one of 4 blocks)."""
+    (any pair with distance <= 3 agrees on at least one of 4 blocks —
+    exact recall at d<=3, so output equals the all-pairs computation;
+    the top block carries the signature's upper 14 bits)."""
     sigs = simhash(docs, id_col, text_col)
     blocks = sigs.select(
         "doc_id",

@@ -22,6 +22,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _guard_quadratic(op: str, df: DataFrame, max_rows: int | None) -> None:
+    """Refuse to build an all-pairs plan over more than ``max_rows`` rows.
+
+    The count is a single cheap column-pruned job — negligible next to
+    the n² join it prevents. ``max_rows=None`` opts out explicitly.
+    """
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op} is a quadratic verification path: input has {n} rows "
+            f"> max_rows={max_rows}. Use the LSH/banded scale path, or "
+            f"pass max_rows=None to opt in to the n^2 join."
+        )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in index order (cross-engine reproducible)."""
     return F.aggregate(
@@ -40,11 +57,18 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self-join baseline).
 
     Ties break on ascending neighbor id (deterministic).
+
+    Quadratic VERIFICATION path: guarded by ``max_rows`` (one cheap
+    count job) so a caller cannot accidentally launch an n² self-join on
+    a large table — pass ``max_rows=None`` to opt out; ``lsh_topk`` is
+    the unbounded scale path.
     """
+    _guard_quadratic("cosine_topk_bruteforce", emb, max_rows)
     n = with_norm(emb, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
     )

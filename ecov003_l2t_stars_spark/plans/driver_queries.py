@@ -342,21 +342,24 @@ def q_flags_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel: value > 9 treated as missing (P1), imputed with the
     # global decimal-exact mean (P12 mean-imputation, BRDF.py:27-45)
     cleaned = F.when(F.col("value") <= 9, F.col("value"))
-    mean_val = ev.agg(
+    # global decimal-exact imputation mean as a 1-row broadcast crossjoin:
+    # stays one lazy plan (no job at query-construction time, no extra
+    # eager scan — the old .collect()[0][0] version forced one)
+    mean_df = ev.agg(
         (
             F.sum(
                 F.when(F.col("value") <= 9, F.col("value")).cast("decimal(18,6)")
             ).cast("double")
             / F.count(F.when(F.col("value") <= 9, F.lit(1))).cast("double")
-        )
-    ).collect()[0][0]
-    return ev.select(
+        ).alias("_mean_val")
+    )
+    return ev.crossJoin(F.broadcast(mean_df)).select(
         "event_id",
         k.alias("k"),
         flag.alias("cloud_flag"),
         (flag > 0).alias("masked"),
         clamped.alias("value_clamped"),
-        F.coalesce(cleaned, F.lit(mean_val)).alias("value_imputed"),
+        F.coalesce(cleaned, F.col("_mean_val")).alias("value_imputed"),
     )
 
 
@@ -506,10 +509,10 @@ _SESSION_ORACLE = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
         SELECT user_id, ts,
-            SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER (
+            CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS session_id
+            ) AS BIGINT) AS session_id
         FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_turns,
@@ -690,7 +693,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang,
             COUNT(*) AS n_docs,
             COUNT(DISTINCT text) AS n_unique_text,
-            SUM(n_chars) AS sum_chars
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         GROUP BY 1
     """,

@@ -39,9 +39,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only check (xxhash64 has no DuckDB twin). max_hamming=3 is
-    the exact-recall bound of 16-bit block banding (pigeonhole: any pair
-    within distance 3 shares at least one of 4 blocks)."""
+    """Oracle-checked: the 62-bit signature uses the cross-engine
+    token_hash62 fold, and 16-bit block banding has exact recall at
+    max_hamming=3 (pigeonhole: any pair within distance 3 shares at
+    least one of 4 blocks), so the banded Spark plan must equal the
+    oracle's brute-force all-pairs Hamming scan."""
     from ecov003_l2t_stars_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -226,7 +228,7 @@ _LANG_ORACLE = """
             i -> substr(t, CAST(i AS INT), 3)))) AS tg
         FROM norm
     ), scored AS (
-        SELECT d.doc_id, p.lang, SUM(200 - p.rank) AS score
+        SELECT d.doc_id, p.lang, CAST(SUM(200 - p.rank) AS BIGINT) AS score
         FROM doc_tg d JOIN prof p USING (tg)
         GROUP BY 1, 2
     )
@@ -237,6 +239,46 @@ _LANG_ORACLE = """
         FROM scored
     ) WHERE rn = 1
 """
+
+
+def _simhash_oracle() -> str:
+    """Brute-force SimHash oracle: same 62-bit signature (two 31-bit
+    polynomial byte-folds per token, per-bit majority vote), all-pairs
+    Hamming <= 3. The Spark plan banding is exact-recall at d<=3, so the
+    outputs must match bit-for-bit."""
+
+    def fold(base: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, len(tok) + 1), "
+            "i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), "
+            f"(acc, c) -> (acc * {base} + c) % 2147483647)"
+        )
+
+    tok_hash = f"{fold(1000003)} * CAST(2147483648 AS BIGINT) + {fold(131)}"
+    bit_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_prepend(0, "
+        f"list_transform(hs, x -> CAST(((x >> {b}) & 1) * 2 - 1 AS INT))), "
+        "(a, v) -> a + v) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(62)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id, list_transform(t, tok -> {tok_hash}) AS hs
+        FROM toks
+    ), sig AS (
+        SELECT doc_id, {bit_terms} AS simhash
+        FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
 
 
 QUERIES_TEXT = {
@@ -256,5 +298,5 @@ ORACLE_SQL_TEXT = {
     "text_quality": _TEXT_QUALITY_ORACLE,
     "doc_fingerprint": _FP_ORACLE,
     "lang_id": _LANG_ORACLE,
-    # simhash_pairs: rows-only (no cross-engine hash twin)
+    "simhash_pairs": _simhash_oracle(),
 }

@@ -73,6 +73,13 @@ def expired_row_filter(tier: str, cutoff: dt.datetime):
     return F.col("bucket_end") <= F.lit(cutoff).cast("timestamp")
 
 
+def _has_parquet(path: Path) -> bool:
+    """True if the tier directory holds at least one data file (a fully
+    expired tier leaves an empty/metadata-only dir that Spark cannot
+    infer a schema from)."""
+    return any(path.rglob("*.parquet"))
+
+
 def enforce_retention(
     spark: SparkSession,
     output_dir: str,
@@ -82,7 +89,17 @@ def enforce_retention(
     """Drop expired rows per tier. Returns rows dropped per tier.
 
     Idempotent: re-running with the same as_of is a no-op.
+
+    Dynamic-partition overwrite only replaces partitions PRESENT in the
+    written output, so a conv_bucket whose rows are all expired would
+    never be rewritten and its rows would silently survive. Those
+    partitions are removed explicitly after the overwrite, and the
+    dropped count reflects what was actually removed (on Iceberg the
+    whole pass is a single metadata DELETE and this bookkeeping
+    disappears).
     """
+    import shutil
+
     policy = policy or RetentionPolicy()
     policy.validate()
     dropped: dict[str, int] = {}
@@ -91,7 +108,7 @@ def enforce_retention(
     for tier in TIERS:
         cutoff = policy.cutoff(tier, as_of)
         path = Path(output_dir) / f"rollup_{tier}"
-        if cutoff is None or not path.exists():
+        if cutoff is None or not path.exists() or not _has_parquet(path):
             dropped[tier] = 0
             continue
         df = spark.read.parquet(str(path))
@@ -109,13 +126,32 @@ def enforce_retention(
             dropped[tier] = 0
             continue
         n_before = df.where(F.col("conv_bucket").isin(affected)).count()
-        kept = df.where(F.col("conv_bucket").isin(affected)).where(~expired)
-        n_after = kept.count()
-        (
-            kept.write.mode("overwrite")
-            .partitionBy("conv_bucket")
-            .parquet(str(path))
+        # persist barrier: `kept` reads the same files the overwrite
+        # replaces (CLAUDE.md rule 8) and is consulted again afterwards
+        kept = (
+            df.where(F.col("conv_bucket").isin(affected))
+            .where(~expired)
+            .persist()
         )
+        n_after = kept.count()
+        kept_buckets = {
+            r.conv_bucket
+            for r in kept.select("conv_bucket").distinct().collect()
+        }
+        if n_after > 0:
+            (
+                kept.write.mode("overwrite")
+                .partitionBy("conv_bucket")
+                .parquet(str(path))
+            )
+        kept.unpersist()
+        # fully expired partitions: not present in `kept`, so the dynamic
+        # overwrite left them untouched — remove their directories
+        for b in affected:
+            if b not in kept_buckets:
+                d = path / f"conv_bucket={b}"
+                if d.exists():
+                    shutil.rmtree(d)
         dropped[tier] = n_before - n_after
     return dropped
 

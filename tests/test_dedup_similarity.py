@@ -58,6 +58,46 @@ def test_lsh_topk_recall(spark, emb):
     assert recall > 0.5, recall
 
 
+def test_quadratic_guard_trips(spark, docs, emb):
+    """The n² verification paths refuse tables larger than max_rows;
+    max_rows=None opts in explicitly."""
+    from ecov003_l2t_stars_spark.operators.dedup import jaccard_pairs
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    with pytest.raises(ValueError, match="quadratic"):
+        jaccard_pairs(docs, max_rows=5)
+    with pytest.raises(ValueError, match="quadratic"):
+        cosine_topk_bruteforce(emb, max_rows=5)
+    # opt-out works and the guard default admits the small fixture
+    assert jaccard_pairs(docs.limit(6), max_rows=None).count() >= 0
+
+
+def test_simhash_banding_equals_bruteforce(spark, docs):
+    """Banded near-pair plan == brute-force all-pairs Hamming<=3 (the
+    exact-recall claim the oracle relies on)."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b) for r in simhash_near_pairs(docs).collect()
+    }
+    assert banded == brute
+    for s in sigs.values():  # 62-bit signatures stay positive
+        assert 0 <= s < (1 << 62)
+
+
 def test_lang_profiles_shape(spark, docs):
     from ecov003_l2t_stars_spark.functions.text import (
         build_lang_profiles,

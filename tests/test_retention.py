@@ -91,3 +91,38 @@ def test_compaction_preserves_rows(spark, job_out):
     for p in parts:
         files = [f for f in Path(p).iterdir() if f.suffix == ".parquet"]
         assert len(files) == 1, p
+
+
+def test_fully_expired_partition_is_removed(spark, tmp_path):
+    """A conv_bucket whose rows are ALL expired must be removed from disk
+    (dynamic overwrite alone never rewrites a partition absent from the
+    output — ADVICE r1 #1), the dropped count must reflect actual
+    removal, and the rerun must be a no-op."""
+    from pathlib import Path
+
+    from ecov003_l2t_stars_spark.plans.pipeline import RollupConfig, RollupJob
+
+    inp = tmp_path / "t.parquet"
+    write_transcripts_parquet(str(inp), GenSpec(n_convs=40))
+    out = str(tmp_path / "out")
+    RollupJob(spark, RollupConfig(str(inp), out, n_buckets=4,
+                                  job_id="exp")).run()
+
+    # as_of far enough out that EVERY 1m row is expired
+    as_of = dt.datetime(2026, 1, 1)
+    policy = RetentionPolicy(
+        keep={"1m": dt.timedelta(days=7), "1h": None, "1d": None,
+              "30d": None}
+    )
+    before = read_tier(spark, out, "1m").count()
+    assert before > 0
+    dropped = enforce_retention(spark, out, as_of, policy)
+    assert dropped["1m"] == before
+
+    # every partition dir is gone from disk
+    parts = list(Path(out).glob("rollup_1m/conv_bucket=*"))
+    assert parts == [], parts
+
+    # rerun: no error on the now-empty tier dir, nothing re-reported
+    again = enforce_retention(spark, out, as_of, policy)
+    assert again["1m"] == 0
