@@ -349,6 +349,15 @@ def cascade_decomposable(finer: DataFrame, tier: str) -> DataFrame:
     count/sum/max compose exactly; percentiles are intentionally absent
     (recomputed from raw in :func:`rollup_tier`). Used for count-style
     continuous aggregates and by the cascade-consistency property test.
+
+    ``latency_sum`` is re-aggregated through DECIMAL(38,12) so the
+    composition is order-free and bit-reproducible across partition
+    layouts (CLAUDE.md rule 1 — a bare float ``F.sum`` would depend on
+    reduction order). Note it is the decimal-exact sum of the finer
+    tier's frozen-fold sums, which is deterministic but not the same
+    float as a frozen fold over the raw values — use
+    :func:`cascade_with_digest` where digest-exact statistics are
+    required.
     """
     b = bucket_start(F.col("bucket_start"), tier)
     n = TIER_SECONDS[tier]
@@ -358,7 +367,9 @@ def cascade_decomposable(finer: DataFrame, tier: str) -> DataFrame:
             F.sum("n_turns").alias("n_turns"),
             *[F.sum(f"n_{r}").alias(f"n_{r}") for r in ROLES],
             F.max("latency_max").alias("latency_max"),
-            F.sum("latency_sum").alias("latency_sum"),
+            F.sum(F.col("latency_sum").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("latency_sum"),
             F.sum("n_latency").alias("n_latency"),
         )
         .withColumn(

@@ -28,7 +28,11 @@ Scale: one shuffle (the groupBy); per-group memory is
 (convs/group × longest series in group) float64 matrices — tune
 ``n_groups`` so batches stay inside executor memory. Hot conversations
 are spread across groups by the hash, and AQE skew handling covers the
-residual.
+residual. Groups are additionally keyed by a log2 length bucket, so all
+series in a batch are within 2× of each other's length and one very long
+conversation can never inflate the whole batch's padding (worst-case
+padding < 50%). Non-dense input (gaps or duplicate buckets) fails fast
+instead of silently compressing time gaps.
 """
 
 from __future__ import annotations
@@ -71,6 +75,50 @@ def latest_state(state_df: DataFrame, tier: str, as_of) -> DataFrame:
             F.col("bias_mean").alias("prior_bias_mean"),
             F.col("bias_var").alias("prior_bias_var"),
         )
+    )
+
+
+def _series_bounds(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of each conv's slice in a (conv_id, _idx)-sorted
+    batch, failing fast if any series is non-dense.
+
+    The matrix builders place observations by position within each conv,
+    which is only valid when ``_idx`` is contiguous (dense, no duplicate
+    buckets). A gap would silently compress time — i.e. drop Kalman
+    predict steps / corrupt WLS window contents — so sparse input is an
+    error: run ``gapfill.gap_fill`` first (ADVICE r1 #5).
+    """
+    _, starts = np.unique(pdf["conv_id"].to_numpy(), return_index=True)
+    starts = np.sort(starts)
+    bounds = np.append(starts, len(pdf))
+    lengths = np.diff(bounds)
+    idx = pdf["_idx"].to_numpy(dtype=np.int64)
+    if len(idx) > 1:
+        step = np.diff(idx)
+        interior = np.ones(len(idx) - 1, dtype=bool)
+        interior[starts[1:] - 1] = False  # conv boundaries exempt
+        if not np.all(step[interior] == 1):
+            bad_pos = np.nonzero(interior & (step != 1))[0][0]
+            raise ValueError(
+                "smooth/wls input is not dense per conversation: "
+                f"conv_id={pdf['conv_id'].iloc[bad_pos]!r} jumps from "
+                f"_idx={idx[bad_pos]} to {idx[bad_pos + 1]} — run "
+                "gap_fill before smoothing (gap buckets become "
+                "pure-predict steps, they cannot be skipped)"
+            )
+    return starts, lengths
+
+
+def _with_length_bucket(df: DataFrame) -> DataFrame:
+    """log2 bucket of each conv's series length: grouping on
+    (_grp, _lenb) keeps batch members within 2× of each other's length,
+    bounding dense-matrix padding. A window count, not a join — on a
+    conv_id-partitioned lineage it adds a sort but no exchange."""
+    wlen = Window.partitionBy("conv_id")
+    return df.withColumn(
+        "_lenb",
+        F.ceil(F.log2(F.count(F.lit(1)).over(wlen).cast("double")))
+        .cast("int"),
     )
 
 
@@ -121,24 +169,22 @@ def smooth_tier(
         )
         .withColumn("_grp", F.pmod(F.xxhash64("conv_id"), F.lit(n_groups)))
         .withColumn("_idx", (F.unix_seconds("bucket_start") / TIER_SECONDS[tier]).cast("long"))
+        .transform(_with_length_bucket)
     )
 
+    _aux = ("_grp", "_lenb")
     out_schema = StructType(
-        [f for f in df.schema.fields if f.name not in ("_grp",)]
+        [f for f in df.schema.fields if f.name not in _aux]
         + [StructField(c, DoubleType()) for c in SMOOTH_COLS]
     )
-    in_cols = [f.name for f in df.schema.fields if f.name != "_grp"]
+    in_cols = [f.name for f in df.schema.fields if f.name not in _aux]
 
     def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["conv_id", "_idx"], kind="mergesort").reset_index(
             drop=True
         )
-        convs, starts = np.unique(pdf["conv_id"].to_numpy(), return_index=True)
-        order = np.argsort(starts)
-        starts = starts[order]
-        bounds = np.append(starts, len(pdf))
-        lengths = np.diff(bounds)
-        n, tmax = len(convs), int(lengths.max())
+        starts, lengths = _series_bounds(pdf)
+        n, tmax = len(starts), int(lengths.max())
 
         y = np.full((n, tmax), np.nan)
         yv = pdf["_y"].to_numpy(dtype=np.float64)
@@ -162,7 +208,7 @@ def smooth_tier(
         return res
 
     return (
-        df.groupBy("_grp")
+        df.groupBy("_grp", "_lenb")
         .applyInPandas(run_batch, out_schema)
         .drop("_idx", "_y", *STATE_COLS)
     )

@@ -58,27 +58,33 @@ def wls_tier(
     else:
         df = df.withColumn("_y", F.col(signal_col))
 
-    df = df.withColumn(
-        "_grp", F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
-    ).withColumn(
-        "_idx", (F.unix_seconds("bucket_start") / TIER_SECONDS[tier]).cast("long")
+    from ecov003_l2t_stars_spark.operators.smooth import (
+        _series_bounds,
+        _with_length_bucket,
     )
 
+    df = (
+        df.withColumn("_grp", F.pmod(F.xxhash64("conv_id"), F.lit(n_groups)))
+        .withColumn(
+            "_idx",
+            (F.unix_seconds("bucket_start") / TIER_SECONDS[tier]).cast("long"),
+        )
+        .transform(_with_length_bucket)
+    )
+
+    _aux = ("_grp", "_lenb")
     out_schema = StructType(
-        [f for f in df.schema.fields if f.name != "_grp"]
+        [f for f in df.schema.fields if f.name not in _aux]
         + [StructField(c, DoubleType()) for c in WLS_COLS]
         + [StructField("wls_n", LongType())]
     )
-    in_cols = [f.name for f in df.schema.fields if f.name != "_grp"]
+    in_cols = [f.name for f in df.schema.fields if f.name not in _aux]
 
     def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["conv_id", "_idx"], kind="mergesort").reset_index(
             drop=True
         )
-        convs, starts = np.unique(pdf["conv_id"].to_numpy(), return_index=True)
-        starts = np.sort(starts)
-        bounds = np.append(starts, len(pdf))
-        lengths = np.diff(bounds)
+        starts, lengths = _series_bounds(pdf)
         n, tmax = len(starts), int(lengths.max())
 
         y = np.full((n, tmax), np.nan)
@@ -96,7 +102,7 @@ def wls_tier(
         return out
 
     return (
-        df.groupBy("_grp")
+        df.groupBy("_grp", "_lenb")
         .applyInPandas(run_batch, out_schema)
         .drop("_idx", "_y")
     )

@@ -83,6 +83,12 @@ STATE_SCHEMA = StructType(
         StructField("pxb", DoubleType()),
         StructField("pbb", DoubleType()),
         StructField("n_seen", LongType()),
+        # state clock: unix micros of the newest processed observation;
+        # later micro-batches drop rows at/behind it (the stateful twin
+        # of the rollup path's watermark) so posteriors are never
+        # conditioned out of time order
+        StructField("last_ts_us", LongType()),
+        StructField("n_late_dropped", LongType()),
     ]
 )
 
@@ -104,7 +110,15 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
 
     Processes each micro-batch's observations for one conv in (ts) order,
     carrying the full 2x2 covariance in GroupState — the streaming twin
-    of the batch filter (identical per-step arithmetic)."""
+    of the batch filter (identical per-step arithmetic, including the
+    ``clamp_lo/clamp_hi`` post-step of ``kalman_filter_scalar``).
+
+    Out-of-order protection: the state carries the newest processed
+    observation time; a row arriving in a later micro-batch with
+    ``ts <= last_ts`` is DROPPED (counted in ``n_late_dropped``), never
+    filtered against state that already advanced past it — mirroring the
+    rollup path's watermark semantics, where a late row beyond the
+    watermark is discarded rather than applied out of order."""
     import numpy as np
 
     def update(
@@ -112,16 +126,28 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        no_clock = -(1 << 62)  # sentinel: no observation processed yet
         if state.exists:
-            x, b, pxx, pxb, pbb, n_seen = state.get
+            x, b, pxx, pxb, pbb, n_seen, last_ts_us, n_late = state.get
         else:
             x, b = DEFAULT_PRIOR_MEAN, DEFAULT_BIAS_MEAN
             pxx, pxb, pbb = DEFAULT_PRIOR_VAR, 0.0, DEFAULT_BIAS_VAR
             n_seen = 0
+            last_ts_us = no_clock
+            n_late = 0
 
         frames = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts", kind="mergesort")
+            if last_ts_us != no_clock:
+                ts_us = (
+                    pdf["ts"].astype("datetime64[us]").astype("int64")
+                )
+                fresh = (ts_us > last_ts_us).to_numpy()
+                n_late += int((~fresh).sum())
+                pdf = pdf[fresh]
+            if len(pdf) == 0:
+                continue
             ys = pdf["y"].to_numpy(dtype=np.float64)
             out = np.empty((len(ys), 4))
             for i, yv in enumerate(ys):
@@ -139,8 +165,15 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
                     pxx = pxx - kx * hp_x
                     pxb = pxb - kx * hp_b
                     pbb = pbb - kb * hp_b
+                if params.clamp_lo is not None:
+                    x = max(x, params.clamp_lo)
+                if params.clamp_hi is not None:
+                    x = min(x, params.clamp_hi)
                 out[i] = (x, np.sqrt(pxx), b, np.sqrt(pbb))
                 n_seen += 1
+            last_ts_us = int(
+                pdf["ts"].astype("datetime64[us]").astype("int64").iloc[-1]
+            )
             res = pdf[["conv_id", "ts", "y"]].copy()
             res["smooth_mean"] = out[:, 0]
             res["smooth_sd"] = out[:, 1]
@@ -149,7 +182,8 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
             frames.append(res)
 
         state.update((float(x), float(b), float(pxx), float(pxb),
-                      float(pbb), int(n_seen)))
+                      float(pbb), int(n_seen), int(last_ts_us),
+                      int(n_late)))
         yield from frames
 
     return update

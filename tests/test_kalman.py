@@ -140,3 +140,62 @@ def test_prior_state_flow(spark):
     assert not np.array_equal(
         sm2["smooth_mean"].to_numpy(), sm2_default["smooth_mean"].to_numpy()
     )
+
+
+def test_smooth_rejects_sparse_input(spark):
+    """Non-dense input must fail fast, not silently compress time gaps
+    (ADVICE r1 #5): a missing bucket would otherwise skip Kalman predict
+    steps."""
+    from ecov003_l2t_stars_spark.operators.wls import wls_tier
+
+    pdf = generate_transcripts(GenSpec(n_convs=30))
+    sdf = spark.createDataFrame(pdf)
+    tier = rollup_tier(with_latency(normalize(sdf)), "1h")  # NOT gap-filled
+
+    # the synthetic corpus always has at least one conv with a gap at 1h
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not dense"):
+        smooth_tier(tier, "1h", n_groups=4).collect()
+    with _pytest.raises(Exception, match="not dense"):
+        wls_tier(tier, "1h", n_groups=4).collect()
+
+
+def test_smooth_grouping_invariance(spark):
+    """Per-conv results are independent of the (hash, length-bucket)
+    grouping: n_groups=1 and n_groups=7 produce bit-identical output —
+    the property the length-bucketed batching relies on."""
+    pdf = generate_transcripts(GenSpec(n_convs=60))
+    sdf = spark.createDataFrame(pdf)
+    filled = gap_fill(
+        rollup_tier(with_latency(normalize(sdf)), "1h"), "1h",
+        ("latency_p50",), method="locf",
+    )
+    a = smooth_tier(filled, "1h", n_groups=1).toPandas() \
+        .sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    b = smooth_tier(filled, "1h", n_groups=7).toPandas() \
+        .sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    for c in ("smooth_mean", "smooth_sd", "smooth_bias", "smooth_bias_sd"):
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy(),
+                              equal_nan=True), c
+
+
+def test_length_bucketing_bounds_padding(spark):
+    """One very long conv lands in its own length bucket: series in a
+    batch are within 2x of each other, so the dense-matrix padding a
+    3000-bucket series would force onto 10-bucket series never happens."""
+    from ecov003_l2t_stars_spark.operators.smooth import _with_length_bucket
+
+    rows = []
+    t0 = np.datetime64("2025-01-01T00:00:00")
+    for c, n in (("short_a", 10), ("short_b", 12), ("long", 3000)):
+        for i in range(n):
+            rows.append((c, (t0 + np.timedelta64(i, "h")).item()))
+    df = spark.createDataFrame(rows, "conv_id string, bucket_start timestamp")
+    got = {
+        r.conv_id: r._lenb
+        for r in _with_length_bucket(df).select("conv_id", "_lenb")
+        .distinct().collect()
+    }
+    assert got["short_a"] == got["short_b"]  # same 2x band
+    assert got["long"] > got["short_a"]      # isolated from the shorts

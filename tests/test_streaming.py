@@ -150,3 +150,82 @@ def test_streaming_kalman_matches_batch_kernel(spark, tmp_path):
     assert np.array_equal(got["smooth_mean"].to_numpy(), exp_mean)
     assert np.array_equal(got["smooth_sd"].to_numpy(), exp_sd)
     assert np.array_equal(got["smooth_bias"].to_numpy(), exp_bias)
+
+
+def test_streaming_kalman_clamp_matches_batch(spark, tmp_path):
+    """Clamped KalmanParams give the SAME posteriors in streaming as in
+    the batch scalar kernel (ADVICE r1 #2: the clamp step used to be
+    silently ignored in streaming)."""
+    from ecov003_l2t_stars_spark.functions.kalman import KalmanParams
+
+    params = KalmanParams(clamp_lo=1.4, clamp_hi=2.2)
+    src = str(tmp_path / "csrc")
+    ys = [1.0, 2.0, 1.5, 3.0, 2.5, 2.0]
+    rows = [
+        ("C", T0 + dt.timedelta(minutes=i), float(y))
+        for i, y in enumerate(ys)
+    ]
+    sch = "conv_id string, ts timestamp, y double"
+    spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(sch).parquet(src)
+    q = (
+        streaming_kalman(stream, params)
+        .writeStream.format("memory")
+        .queryName("kclamp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM kclamp ORDER BY ts").toPandas()
+    exp_mean, exp_sd, _, _ = kalman_filter_scalar(np.array(ys),
+                                                  params=params)
+    assert np.array_equal(got["smooth_mean"].to_numpy(), exp_mean)
+    assert got["smooth_mean"].max() <= 2.2
+    assert got["smooth_mean"].min() >= 1.4
+
+
+def test_streaming_kalman_drops_out_of_order_rows(spark, tmp_path):
+    """A row older than the state clock arriving in a later micro-batch
+    is dropped, not conditioned out of time order: the emitted posterior
+    sequence equals the batch filter over the IN-ORDER rows only."""
+    src = str(tmp_path / "lsrc")
+    sch = "conv_id string, ts timestamp, y double"
+    ck = str(tmp_path / "lck")
+    sink = str(tmp_path / "lsink")
+
+    def run_once():
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = (
+            streaming_kalman(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    in_order = [1.0, 2.0, 1.5, 3.0]
+    rows1 = [("L", T0 + dt.timedelta(minutes=i), float(y))
+             for i, y in enumerate(in_order)]
+    spark.createDataFrame(rows1, sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+
+    # batch 2: one LATE row (behind the clock) + one fresh row
+    late = ("L", T0 + dt.timedelta(minutes=1, seconds=30), 99.0)
+    fresh = ("L", T0 + dt.timedelta(minutes=10), 2.5)
+    spark.createDataFrame([late, fresh], sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(sink).orderBy("ts").toPandas()
+    # the late 99.0 row is absent from the output entirely
+    assert len(got) == 5
+    assert 99.0 not in set(got["y"])
+    exp_mean, _, _, _ = kalman_filter_scalar(np.array(in_order + [2.5]))
+    assert np.array_equal(got["smooth_mean"].to_numpy(), exp_mean)
