@@ -79,14 +79,24 @@ def _decode_stub(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / np.float64(2**32)).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """binary payload → fixed-dim feature vector (mapInPandas)."""
+def extract_features(
+    media: DataFrame, dim: int = 16, decoder=None
+) -> DataFrame:
+    """binary payload → fixed-dim feature vector (mapInPandas).
+
+    ``decoder(payload: bytes, kind: str, dim: int) -> np.ndarray`` is the
+    pluggable decode seam: default is the deterministic stub; a real
+    deployment passes a PIL/librosa/ffmpeg-backed callable and every line
+    of Spark plumbing (schema, Arrow batching, partitioning) is unchanged
+    — seam-tested in tests/test_multimodal.py.
+    """
+    decoder = decoder or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             feats = [
-                _decode_stub(bytes(p), k, dim)
+                decoder(bytes(p), k, dim)
                 for p, k in zip(payloads, pdf["kind"])
             ]
             yield pd.DataFrame(

@@ -1,0 +1,253 @@
+"""Ingestion manifest + availability/latency gating (SURVEY §2.1 S4 analog).
+
+The reference's biggest subsystem is granule ingestion: discover what
+upstream has published, dedup against what was already staged, and gate
+processing on availability + lateness (``VIIRS/VNP09GA.py:1034-1138``
+listing → dedup, ``VIIRSDataPool.py:218-274`` retrieve-with-retry,
+``L2T_STARS.py:343-388`` the availability/latency scan that decides which
+tile-dates are processable and when to give up —
+``constants.py:27`` VIIRS_GIVEUP_DAYS = 4).
+
+The engine twin over transcript batches:
+
+- :func:`ingest` — register one upstream batch (a parquet drop from one
+  ``source``) into the manifest table: one row per ``conv_bucket`` with
+  ``(source, batch_id, arrived_at, rows_ingested, min_ts, max_ts)``.
+  Idempotent: a (source, batch_id) already present is skipped — the
+  granule-dedup step (``VNP09GA.py:1138``).
+- :func:`record_attempt` / :func:`retry_candidates` — per-(source,
+  batch_id) retry bookkeeping: failed attempts are retried until
+  ``max_attempts`` (the data-pool retry loop, ``VNP09GA.py:1140-1211``).
+- :func:`backlog` — join manifest vs the rollup job's checkpoints and
+  classify every conv_bucket:
+
+  - ``done``         checkpointed by the rollup job
+  - ``processable``  all required sources arrived, not yet processed
+  - ``pending``      sources missing, newest arrived data younger than
+                     the give-up window
+  - ``gave_up``      sources missing beyond the give-up window
+
+  (the L2T_STARS availability+latency scan as one DataFrame plan — no
+  driver-side loops; the only collect is the caller's).
+
+All tables are plain partitioned parquet (Iceberg-layout compatible,
+like every other engine table).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GIVEUP = dt.timedelta(days=4)  # reference VIIRS_GIVEUP_DAYS analog
+
+MANIFEST_SCHEMA = (
+    "source string, conv_bucket int, batch_id string, "
+    "arrived_at timestamp, rows_ingested long, "
+    "min_ts timestamp, max_ts timestamp"
+)
+
+ATTEMPT_SCHEMA = (
+    "source string, batch_id string, attempt int, ok boolean, "
+    "error string, attempted_at timestamp"
+)
+
+
+def _manifest_path(manifest_dir: str) -> Path:
+    return Path(manifest_dir) / "manifest"
+
+
+def _attempts_path(manifest_dir: str) -> Path:
+    return Path(manifest_dir) / "attempts"
+
+
+def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    p = _manifest_path(manifest_dir)
+    if not p.exists():
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.parquet(str(p))
+
+
+def read_attempts(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    p = _attempts_path(manifest_dir)
+    if not p.exists():
+        return spark.createDataFrame([], ATTEMPT_SCHEMA)
+    return spark.read.parquet(str(p))
+
+
+def ingest(
+    spark: SparkSession,
+    batch_path: str,
+    manifest_dir: str,
+    source: str,
+    batch_id: str,
+    n_buckets: int = 32,
+    arrived_at: dt.datetime | None = None,
+) -> dict:
+    """Register one upstream batch in the manifest. Idempotent.
+
+    Returns ``{"skipped": True}`` when (source, batch_id) is already
+    manifested (re-delivery of the same granule), else per-batch stats.
+    The manifest write is a per-conv_bucket aggregate of the batch — no
+    data rows reach the driver.
+    """
+    arrived_at = arrived_at or dt.datetime.now(dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    existing = read_manifest(spark, manifest_dir)
+    already = (
+        existing.where(
+            (F.col("source") == source) & (F.col("batch_id") == batch_id)
+        )
+        .limit(1)
+        .count()
+    )
+    if already:
+        return {"skipped": True, "source": source, "batch_id": batch_id}
+
+    df = spark.read.parquet(batch_path).withColumn(
+        "conv_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    )
+    manifest = (
+        df.groupBy("conv_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows_ingested"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            F.lit(source).alias("source"),
+            "conv_bucket",
+            F.lit(batch_id).alias("batch_id"),
+            F.lit(arrived_at).cast("timestamp").alias("arrived_at"),
+            "rows_ingested",
+            "min_ts",
+            "max_ts",
+        )
+    )
+    manifest.write.mode("append").parquet(str(_manifest_path(manifest_dir)))
+    n = read_manifest(spark, manifest_dir).where(
+        (F.col("source") == source) & (F.col("batch_id") == batch_id)
+    )
+    stats = n.agg(
+        F.sum("rows_ingested").alias("rows"),
+        F.count(F.lit(1)).alias("buckets"),
+    ).collect()[0]
+    return {
+        "skipped": False,
+        "source": source,
+        "batch_id": batch_id,
+        "rows_ingested": stats.rows,
+        "buckets": stats.buckets,
+    }
+
+
+def record_attempt(
+    spark: SparkSession,
+    manifest_dir: str,
+    source: str,
+    batch_id: str,
+    ok: bool,
+    error: str | None = None,
+    attempted_at: dt.datetime | None = None,
+) -> None:
+    """Append one retrieval attempt (the data-pool retry bookkeeping)."""
+    attempted_at = attempted_at or dt.datetime.now(
+        dt.timezone.utc
+    ).replace(tzinfo=None)
+    prev = (
+        read_attempts(spark, manifest_dir)
+        .where((F.col("source") == source) & (F.col("batch_id") == batch_id))
+        .agg(F.coalesce(F.max("attempt"), F.lit(0)).alias("m"))
+        .collect()[0]
+        .m
+    )
+    row = [(source, batch_id, prev + 1, ok, error, attempted_at)]
+    spark.createDataFrame(row, ATTEMPT_SCHEMA).write.mode("append").parquet(
+        str(_attempts_path(manifest_dir))
+    )
+
+
+def retry_candidates(
+    spark: SparkSession, manifest_dir: str, max_attempts: int = 3
+) -> DataFrame:
+    """(source, batch_id, attempts, last_error) whose LAST attempt failed
+    and attempts < max_attempts — the batches the next ingestion sweep
+    should re-fetch (``VNP09GA.py:1140-1211``). A batch that later
+    succeeded (or was manifested) is excluded."""
+    att = read_attempts(spark, manifest_dir)
+    last = (
+        att.groupBy("source", "batch_id")
+        .agg(
+            F.max("attempt").alias("attempts"),
+            F.max_by("ok", "attempt").alias("last_ok"),
+            F.max_by("error", "attempt").alias("last_error"),
+        )
+        .where(~F.col("last_ok") & (F.col("attempts") < max_attempts))
+    )
+    manifested = read_manifest(spark, manifest_dir).select(
+        "source", "batch_id"
+    ).distinct()
+    return last.join(manifested, ["source", "batch_id"], "left_anti").select(
+        "source", "batch_id", "attempts", "last_error"
+    )
+
+
+def backlog(
+    spark: SparkSession,
+    manifest_dir: str,
+    output_dir: str,
+    job_id: str,
+    required_sources: list[str],
+    as_of: dt.datetime,
+    giveup: dt.timedelta = GIVEUP,
+) -> DataFrame:
+    """Availability + latency gate: classify every manifested conv_bucket.
+
+    One DataFrame plan: manifest rollup per bucket, left join against the
+    checkpoint table (``done``), completeness against the required-source
+    set (``processable``), and the give-up clock on the newest arrived
+    data (``pending`` / ``gave_up``).
+    """
+    m = read_manifest(spark, manifest_dir)
+    per_bucket = m.groupBy("conv_bucket").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("rows_ingested").alias("rows_ingested"),
+        F.max("arrived_at").alias("latest_arrival"),
+        F.max("max_ts").alias("newest_data"),
+    )
+
+    ckpt_path = Path(output_dir) / "checkpoints"
+    if ckpt_path.exists():
+        done = (
+            spark.read.parquet(str(ckpt_path))
+            .where(F.col("job_id") == job_id)
+            .select("conv_bucket")
+            .distinct()
+            .withColumn("_done", F.lit(True))
+        )
+    else:
+        done = spark.createDataFrame([], "conv_bucket int").withColumn(
+            "_done", F.lit(True)
+        )
+
+    n_req = len(required_sources)
+    give_up_before = F.lit(as_of - giveup).cast("timestamp")
+    return (
+        per_bucket.join(F.broadcast(done), "conv_bucket", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_done"), F.lit("done"))
+            .when(F.col("n_sources") >= n_req, F.lit("processable"))
+            .when(F.col("newest_data") >= give_up_before, F.lit("pending"))
+            .otherwise(F.lit("gave_up")),
+        )
+        .select(
+            "conv_bucket", "status", "n_sources", "rows_ingested",
+            "latest_arrival",
+        )
+    )

@@ -17,9 +17,15 @@ re-expressed as a checkpoints table over conv-hash partitions:
   (job_id, partition, bucket range, rows_processed, lineage). Restart
   skips checkpointed buckets (FIXTURES.md §4).
 - outputs are parquet directories partitioned by ``conv_bucket`` — the
-  layout an Iceberg ``bucket(N, conv_id)`` partition spec produces; the
-  write path is format-agnostic (`format="iceberg"` works unchanged when
-  a catalog is configured).
+  layout an Iceberg ``bucket(N, conv_id)`` partition spec produces. The
+  write path is DESIGNED for Iceberg (swap ``.parquet(path)`` for
+  ``.writeTo(table)`` against a configured catalog) but is NOT yet
+  exercised against an Iceberg runtime: this sandbox has no
+  iceberg-spark-runtime jar and no network to fetch one, so every tested
+  claim rests on the parquet layout twin. On Iceberg, the dynamic
+  partition overwrite becomes ``overwritePartitions()``, retention's
+  partition-dir deletes become a metadata ``DELETE WHERE``, and the
+  late-data persist barrier becomes a snapshot-isolated ``MERGE``.
 
 Scale: the job never collects data rows; the only driver-side state is
 the checkpoint bookkeeping (n_buckets rows).
@@ -130,15 +136,28 @@ class RollupJob:
         return {r.conv_bucket for r in rows}
 
     # -- main --------------------------------------------------------------
-    def run(self, max_buckets: int | None = None) -> dict:
+    def run(
+        self,
+        max_buckets: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> dict:
         """Process all not-yet-checkpointed conv buckets; returns metrics.
 
         ``max_buckets`` processes only the first K remaining buckets —
         used by resume tests to simulate a mid-job crash.
+
+        ``buckets`` restricts the run to an explicit set — the
+        availability gate: pass the ``processable`` conv_buckets from
+        ``plans.ingest.backlog`` so the job only touches buckets whose
+        required sources have all arrived (the reference's
+        availability-gated tile loop, ``L2T_STARS.py:343-388``). Buckets
+        that become processable later are picked up by the next run via
+        the same checkpoint-skip.
         """
         cfg = self.cfg
         done = self.completed_buckets()
-        remaining = [b for b in range(cfg.n_buckets) if b not in done]
+        universe = range(cfg.n_buckets) if buckets is None else buckets
+        remaining = [b for b in universe if b not in done]
         if max_buckets is not None:
             remaining = remaining[:max_buckets]
         if not remaining:

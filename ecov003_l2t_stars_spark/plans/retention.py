@@ -14,10 +14,12 @@ Default policy (configurable):
 Physical strategy in the parquet fallback: expired rows are removed by a
 filtered dynamic-partition overwrite of ONLY the conv_buckets that
 contain expired rows (computed by an aggregate pruning pass first — a
-partition holding no expired data is never rewritten). On Iceberg the
-same operation is a metadata-level ``DELETE WHERE bucket_end <= cutoff``
-against a ``days(bucket_start)`` partition spec — no data rewrite; the
-``enforce`` API is identical.
+partition holding no expired data is never rewritten), plus explicit
+removal of partitions left with zero kept rows. On Iceberg the same
+operation would be a metadata-level ``DELETE WHERE bucket_end <= cutoff``
+against a ``days(bucket_start)`` partition spec — no data rewrite — but
+this is a DESIGN claim, not yet exercised: the sandbox has no Iceberg
+runtime jar (see pipeline.py module docstring).
 
 Safety invariant (tested): a fine bucket is only expirable if the
 covering coarse bucket is closed, i.e. cutoff_fine <= cutoff of what the
