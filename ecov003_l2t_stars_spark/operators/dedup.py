@@ -81,22 +81,46 @@ def minhash_signatures(
     n_hashes: int = 64,
     k: int = 5,
 ) -> DataFrame:
-    """(id, array<long> signature): sig[j] = min over shingles of
-    xxhash64(shingle, j). One projection, no shuffle.
+    """(id, array<long> signature): universal-hash minhash family.
 
-    The shingle array is materialized as a column first — referencing a
-    computed expression from inside the 64 transforms would re-shingle
-    the text 64 times (Catalyst inlines, no CSE inside lambdas)."""
+    Each shingle is string-hashed ONCE (``xxhash64``, folded to 31 bits),
+    then the ``n_hashes`` component hashes are affine mixes in the
+    classic Carter–Wegman family ``h_j(s) = (a_j*h(s) + b_j) mod M``
+    (M = 2^31-1, 1 <= a_j < M): pairwise-independent, and every
+    intermediate stays < 2^62, safe under ANSI overflow checking. This
+    replaces the original 64-full-string-hash formulation — 64× less
+    string hashing per shingle for the same minhash guarantees. One
+    projection, no shuffle.
+
+    The base-hash array is materialized as a column first — referencing
+    a computed expression from inside the 64 transforms would re-hash
+    the shingles 64 times (Catalyst inlines, no CSE inside lambdas).
+    """
+    import numpy as np
+
+    M = (1 << 31) - 1
+    rng = np.random.default_rng(0xC0FFEE)
+    a = rng.integers(1, M, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, M, size=n_hashes, dtype=np.int64)
 
     def _minhash(j: int):
-        def h(s):
-            return F.xxhash64(s, F.lit(j))
+        aj = int(a[j])
+        bj = int(b[j])
 
-        return F.array_min(F.transform(F.col("_sh"), h))
+        def mix(h):
+            return F.pmod(h * F.lit(aj) + F.lit(bj), F.lit(M))
+
+        return F.array_min(F.transform(F.col("_hs"), mix))
 
     sig = F.array(*[_minhash(j) for j in range(n_hashes)])
     return (
         docs.withColumn("_sh", char_shingles(F.col(text_col), k))
+        .withColumn(
+            "_hs",
+            F.transform(
+                F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(M))
+            ),
+        )
         .select(F.col(id_col).alias("_id"), sig.alias("_sig"))
     )
 

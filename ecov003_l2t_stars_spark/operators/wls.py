@@ -59,50 +59,60 @@ def wls_tier(
         df = df.withColumn("_y", F.col(signal_col))
 
     from ecov003_l2t_stars_spark.operators.smooth import (
+        _length_bands,
         _series_bounds,
-        _with_length_bucket,
     )
 
-    df = (
-        df.withColumn("_grp", F.pmod(F.xxhash64("conv_id"), F.lit(n_groups)))
-        .withColumn(
-            "_idx",
-            (F.unix_seconds("bucket_start") / TIER_SECONDS[tier]).cast("long"),
-        )
-        .transform(_with_length_bucket)
+    df = df.withColumn(
+        "_grp", F.pmod(F.xxhash64("conv_id"), F.lit(n_groups))
+    ).withColumn(
+        "_idx", (F.unix_seconds("bucket_start") / TIER_SECONDS[tier]).cast("long")
     )
 
-    _aux = ("_grp", "_lenb")
     out_schema = StructType(
-        [f for f in df.schema.fields if f.name not in _aux]
+        [f for f in df.schema.fields if f.name != "_grp"]
         + [StructField(c, DoubleType()) for c in WLS_COLS]
         + [StructField("wls_n", LongType())]
     )
-    in_cols = [f.name for f in df.schema.fields if f.name not in _aux]
+    in_cols = [f.name for f in df.schema.fields if f.name != "_grp"]
 
     def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["conv_id", "_idx"], kind="mergesort").reset_index(
             drop=True
         )
         starts, lengths = _series_bounds(pdf)
-        n, tmax = len(starts), int(lengths.max())
+        yv = pdf["_y"].to_numpy(dtype=np.float64)
 
-        y = np.full((n, tmax), np.nan)
-        col_idx = np.concatenate([np.arange(k) for k in lengths])
-        row_idx = np.repeat(np.arange(n), lengths)
-        y[row_idx, col_idx] = pdf["_y"].to_numpy(dtype=np.float64)
+        flat_f = {c: np.empty(len(pdf)) for c in WLS_COLS}
+        flat_n = np.empty(len(pdf), dtype=np.int64)
+        # per-band dense matrices: one long series bounds only its own
+        # band's padding (see smooth._length_bands)
+        for band in _length_bands(lengths):
+            bl = lengths[band]
+            nb, tmax = len(band), int(bl.max())
+            col_idx = np.concatenate([np.arange(k) for k in bl])
+            row_idx = np.repeat(np.arange(nb), bl)
+            flat_pos = np.concatenate(
+                [np.arange(starts[s], starts[s] + lengths[s]) for s in band]
+            )
+            y = np.full((nb, tmax), np.nan)
+            y[row_idx, col_idx] = yv[flat_pos]
+            res = wls_trailing(y, window=window, scale=scale,
+                               min_obs=min_obs)
+            flat_f["wls_trend"][flat_pos] = res["trend"][row_idx, col_idx]
+            flat_f["wls_level"][flat_pos] = res["level"][row_idx, col_idx]
+            flat_f["wls_se"][flat_pos] = res["se"][row_idx, col_idx]
+            flat_f["wls_r2"][flat_pos] = res["r2"][row_idx, col_idx]
+            flat_n[flat_pos] = res["n_obs"][row_idx, col_idx]
 
-        res = wls_trailing(y, window=window, scale=scale, min_obs=min_obs)
         out = pdf[in_cols].copy()
-        out["wls_trend"] = res["trend"][row_idx, col_idx]
-        out["wls_level"] = res["level"][row_idx, col_idx]
-        out["wls_se"] = res["se"][row_idx, col_idx]
-        out["wls_r2"] = res["r2"][row_idx, col_idx]
-        out["wls_n"] = res["n_obs"][row_idx, col_idx]
+        for c in WLS_COLS:
+            out[c] = flat_f[c]
+        out["wls_n"] = flat_n
         return out
 
     return (
-        df.groupBy("_grp", "_lenb")
+        df.groupBy("_grp")
         .applyInPandas(run_batch, out_schema)
         .drop("_idx", "_y")
     )

@@ -180,22 +180,22 @@ def test_smooth_grouping_invariance(spark):
                               equal_nan=True), c
 
 
-def test_length_bucketing_bounds_padding(spark):
-    """One very long conv lands in its own length bucket: series in a
-    batch are within 2x of each other, so the dense-matrix padding a
-    3000-bucket series would force onto 10-bucket series never happens."""
-    from ecov003_l2t_stars_spark.operators.smooth import _with_length_bucket
+def test_length_bands_bound_padding():
+    """One very long conv lands in its own band: series in a band are
+    within 2x of each other, so the dense-matrix padding a 3000-bucket
+    series would force onto 10-bucket series never happens, every series
+    appears exactly once, and per-band padding stays < 50%."""
+    from ecov003_l2t_stars_spark.operators.smooth import _length_bands
 
-    rows = []
-    t0 = np.datetime64("2025-01-01T00:00:00")
-    for c, n in (("short_a", 10), ("short_b", 12), ("long", 3000)):
-        for i in range(n):
-            rows.append((c, (t0 + np.timedelta64(i, "h")).item()))
-    df = spark.createDataFrame(rows, "conv_id string, bucket_start timestamp")
-    got = {
-        r.conv_id: r._lenb
-        for r in _with_length_bucket(df).select("conv_id", "_lenb")
-        .distinct().collect()
-    }
-    assert got["short_a"] == got["short_b"]  # same 2x band
-    assert got["long"] > got["short_a"]      # isolated from the shorts
+    lengths = np.array([10, 12, 3000, 11, 600, 19, 21])
+    bands = list(_length_bands(lengths))
+    seen = np.sort(np.concatenate(bands))
+    assert np.array_equal(seen, np.arange(len(lengths)))
+    for band in bands:
+        bl = lengths[band]
+        assert bl.max() <= bl.min() * 2          # 2x width
+        pad = 1 - bl.sum() / (len(bl) * bl.max())
+        assert pad < 0.5
+    # the 3000-series is alone; the shorts share one band
+    assert any(set(lengths[b]) == {3000} for b in bands)
+    assert any({10, 11, 12, 19} <= set(lengths[b]) for b in bands)
