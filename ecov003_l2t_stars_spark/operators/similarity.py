@@ -118,6 +118,152 @@ def lsh_signatures(
     )
 
 
+def _kmeans_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    n_iters: int,
+    dim: int,
+    sample_mod: int = 1,
+) -> np.ndarray:
+    """Lloyd's k-means with DataFrame ops; centroids live on the driver
+    (n_centroids × dim — metadata-scale), assignments never do.
+
+    ``sample_mod`` trains on a deterministic 1/sample_mod hash-sample of
+    the vectors (at 100 TB you fit on a sample and assign everything);
+    init = per-centroid mean of a hash-partition of the sample (data
+    dependent, deterministic, no RNG over rows).
+    """
+    sample = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod > 1:
+        sample = sample.where(
+            F.pmod(F.xxhash64("_id"), F.lit(sample_mod)) == 0
+        )
+
+    dim_avg = [
+        F.avg(F.col("_v")[i].cast("double")).alias(f"c{i}") for i in range(dim)
+    ]
+    init = (
+        sample.withColumn(
+            "_c", F.pmod(F.xxhash64("_id"), F.lit(n_centroids))
+        )
+        .groupBy("_c")
+        .agg(*dim_avg)
+        .orderBy("_c")
+        .collect()
+    )
+    cents = np.array([[r[f"c{i}"] for i in range(dim)] for r in init])
+
+    for _ in range(n_iters):
+        assigned = sample.withColumn(
+            "_c", _nearest_centroid(F.col("_v"), cents)
+        )
+        rows = assigned.groupBy("_c").agg(*dim_avg).collect()
+        for r in rows:  # empty clusters keep their previous centroid
+            cents[r["_c"]] = [r[f"c{i}"] for i in range(dim)]
+    return cents
+
+
+def _nearest_centroid(vec: Column, cents: np.ndarray) -> Column:
+    """argmin over centroids of squared L2 distance (pure column
+    expression over broadcast literal centroids; ties → lowest index)."""
+    best_d, best_i = None, None
+    for i, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(vec, lit_c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 3,
+    dim: int = 64,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer buckets the
+    vectors; each query probes its ``n_probe`` nearest cells and is
+    re-ranked by exact cosine against candidates in those cells only.
+
+    The k-means twin of :func:`lsh_topk` — expected candidate set is
+    n * n_probe / n_centroids per query, sub-quadratic. Centroids are
+    driver-side literals (metadata-scale); every data-sized step is a
+    DataFrame op. Recall is measured against the brute-force baseline in
+    tests, the same contract as ``lsh_topk``.
+    """
+    cents = _kmeans_fit(emb, id_col, vec_col, n_centroids, n_iters, dim,
+                        sample_mod)
+
+    n = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
+    )
+    # members: each vector lives in its single nearest cell
+    members = n.withColumn("_cell", _nearest_centroid(F.col("_v"), cents))
+    # probes: each query fans out to its n_probe nearest cells
+    probe_cols = []
+    for i, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("_v"), lit_c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probe_cols.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    probes = n.withColumn(
+        "_probe",
+        F.explode(
+            F.slice(
+                F.array_sort(F.array(*probe_cols)), 1, n_probe
+            )
+        ),
+    ).select(
+        F.col("_id").alias("vec_id"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+        F.col("_probe.cell").alias("_cell"),
+    )
+    cand = probes.join(
+        members.select(
+            F.col("_cell"),
+            F.col("_id").alias("neighbor_id"),
+            F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        ),
+        "_cell",
+    ).where(F.col("vec_id") != F.col("neighbor_id")).dropDuplicates(
+        ["vec_id", "neighbor_id"]
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -43,6 +43,25 @@ def _bucket_epoch(col, seconds: int):
     return (F.floor(_us(col) / F.lit(seconds * 1_000_000)) * seconds).cast("long")
 
 
+def duck_double(v: float) -> str:
+    """Exact double literal for DuckDB SQL.
+
+    DuckDB's string→double parsing misrounds some shortest-repr
+    literals by 1 ulp (observed on the WLS weight
+    0.030932872398582494 → …cf instead of …ce), so float constants are
+    emitted as ``mantissa * 2^exp``: the integer mantissa (< 2^53) and
+    the power of two are both exact doubles and their product is an
+    exact scaling — bit-identical to the Python/Spark constant.
+    """
+    import math
+
+    if v == 0.0 or not math.isfinite(v):
+        return repr(v)
+    m, e = math.frexp(v)
+    m53 = int(m * (1 << 53))
+    return f"(CAST({m53} AS DOUBLE) * pow(2.0, {e - 53}))"
+
+
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
@@ -139,19 +158,52 @@ def q_rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q1 analog: pricing summary (scan + filter + wide aggregate;
 # SURVEY §2.2 P2/P6 scalar map + §2.4 aggregate family)
 # --------------------------------------------------------------------------
+def _dec_sum_to_double(c: Column) -> Column:
+    """Frozen DECIMAL-sum → DOUBLE conversion (both engines identical).
+
+    A direct decimal(38,14) → DOUBLE cast is correctly rounded in Spark
+    (BigDecimal) but not in DuckDB (scaled-integer float math) — last-bit
+    flips observed at sf0.001. Instead: reduce to scale 6 decimally
+    (exact same half-up rounding both engines on positive values),
+    extract the scaled integer exactly into BIGINT, convert (single
+    correctly-rounded int→double both engines), and divide by 1e6 (one
+    IEEE op on identical operands). DuckDB twin: ``_duck_dec_sum``.
+    """
+    scaled = (c.cast("decimal(24,6)") * F.lit(1_000_000).cast("decimal(7,0)"))
+    return scaled.cast("long").cast("double") / F.lit(1_000_000.0)
+
+
+def _duck_dec_sum(sum_sql: str) -> str:
+    return (
+        f"CAST(CAST(CAST({sum_sql} AS DECIMAL(24,6)) * 1000000 AS BIGINT) "
+        "AS DOUBLE) / 1000000.0"
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operand decimal types are sized so the three-way product stays
+    inside precision 38 WITHOUT intermediate rounding: price (12,2) ×
+    factor (9,6) → (22,8); × (9,6) again → (32,14). At (18,4) operands
+    the chain hits the precision-38 cap and Spark and DuckDB truncate
+    scale DIFFERENTLY (seen at sf0.001). Output doubles go through the
+    frozen :func:`_dec_sum_to_double` conversion."""
     li = _lineitem(spark, sf_dir)
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,6)")
+    tax = F.col("l_tax").cast("decimal(8,6)")
+    one = F.lit(1).cast("decimal(8,6)")
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            _dec_sum_to_double(
+                F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            ).alias("sum_qty"),
+            _dec_sum_to_double(F.sum(price)).alias("sum_base_price"),
+            _dec_sum_to_double(F.sum(disc_price)).alias("sum_disc_price"),
+            _dec_sum_to_double(F.sum(charge)).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -274,10 +326,13 @@ def q_wls_trend_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wls_oracle() -> str:
-    # DuckDB parses bare numeric literals as DECIMAL — force DOUBLE so the
-    # arithmetic matches Spark bit-for-bit
+    # DuckDB parses bare numeric literals as DECIMAL — force DOUBLE so
+    # the arithmetic matches Spark bit-for-bit; constants go through
+    # duck_double because DuckDB's decimal-string parser misrounds some
+    # of these weights by 1 ulp (5/95583 rows flipped at sf0.1)
     wlist = (
-        "([" + ", ".join(repr(v) for v in _WLS_WEIGHTS) + "]::DOUBLE[])"
+        "([" + ", ".join(duck_double(v) for v in _WLS_WEIGHTS)
+        + "]::DOUBLE[])"
     )
     fold = (
         lambda inner: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -671,24 +726,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
-    "pricing_summary": """
-        SELECT
-            l_returnflag,
-            l_linestatus,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                AS DOUBLE) AS sum_disc_price,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-                * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))
-                AS DOUBLE) AS sum_charge,
-            COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY 1, 2
-    """,
+    # Decimal plan (both engines stay EXACT, no scale truncation, so the
+    # final double casts are bit-identical):
+    #   Spark: price(12,2) x (9,6) -> (22,8); x (9,6) -> (32,14).
+    #   DuckDB: width <= 18 uses an int64 fast path that OVERFLOWS on
+    #   these products, so price is cast to (19,2) to force int128:
+    #   (19,2) x (13,6) -> (33,8), cast losslessly to (24,8) (values
+    #   < 10^16 at scale 8), x (13,6) -> (38,14).
+    "pricing_summary": None,  # built below (needs _duck_dec_sum)
     "dedup_exact": """
         SELECT lang,
             COUNT(*) AS n_docs,
@@ -1038,3 +1083,33 @@ QUERIES = {
 
 ORACLE_SQL["ingest_backlog"] = _INGEST_BACKLOG_ORACLE
 ORACLE_SQL["solar_angles"] = _SOLAR_ORACLE
+
+# pricing_summary: decimal widths per the q_pricing_summary docstring;
+# DuckDB needs width >= 19 on one operand to leave its int64 fast path
+# (which overflows on these products), a lossless (24,8) step before the
+# third factor to stay under width 38, and the frozen _duck_dec_sum
+# double conversion.
+_DUCK_CHARGE = (
+    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2))"
+    " * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6)))"
+    " AS DECIMAL(24,8))"
+    " * (CAST(1 AS DECIMAL(12,6)) + CAST(l_tax AS DECIMAL(12,6))))"
+)
+_DUCK_DISC_PRICE = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(19,2))"
+    " * (CAST(1 AS DECIMAL(12,6)) - CAST(l_discount AS DECIMAL(12,6))))"
+)
+ORACLE_SQL["pricing_summary"] = f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {_duck_dec_sum("SUM(CAST(l_quantity AS DECIMAL(19,2)))")} AS sum_qty,
+        {_duck_dec_sum("SUM(CAST(l_extendedprice AS DECIMAL(19,2)))")}
+            AS sum_base_price,
+        {_duck_dec_sum(_DUCK_DISC_PRICE)} AS sum_disc_price,
+        {_duck_dec_sum(_DUCK_CHARGE)} AS sum_charge,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+"""

@@ -75,6 +75,30 @@ def streaming_rollup_1m(stream: DataFrame, watermark: str = WATERMARK) -> DataFr
     )
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Append-mode streaming sessionization via the state-store-backed
+    native ``session_window``: sessions merge across micro-batches while
+    open and finalize once the watermark passes their close (the
+    streaming twin of ``operators.sessions.session_window_agg``, which
+    tests cross-check against the gaps-and-islands batch construction).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.session_window(F.col("ts"), gap))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("x", DoubleType()),

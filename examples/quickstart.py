@@ -77,6 +77,25 @@ def main() -> None:
     )
     print("retention dropped:", dropped)
 
+    # 7. ingestion manifest + availability gate: register the batch,
+    #    then ask which conv_buckets are processable vs pending
+    from ecov003_l2t_stars_spark.plans.ingest import backlog, ingest
+
+    mdir = str(work / "manifest")
+    print("ingest:", ingest(spark, str(inp), mdir, source="demo",
+                            batch_id="b1", n_buckets=8,
+                            arrived_at=dt.datetime(2025, 1, 20)))
+    backlog(spark, mdir, out, "demo", ["demo"],
+            as_of=dt.datetime(2025, 1, 21)).show(8)
+
+    # 8. approximate nearest neighbors over an embedding column
+    #    (hyperplane LSH and IVF k-means cells; exact brute force is the
+    #    guarded verification path)
+    from ecov003_l2t_stars_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf_topk(emb, k=3, n_centroids=6, n_probe=3).show(5)
+
     spark.stop()
     print("done; outputs in", work)
 

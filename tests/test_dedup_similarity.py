@@ -122,3 +122,25 @@ def test_fingerprint_deterministic_and_sensitive(spark):
     assert rows["a"] == rows["b"]
     assert rows["a"] != rows["c"]
     assert 0 <= rows["a"] < (1 << 31) - 1
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF (k-means cells + n_probe fan-out) recall vs the exact
+    brute-force baseline — the same contract lsh_topk is held to."""
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    exact = cosine_topk_bruteforce(emb, k=3)
+    approx = ivf_topk(emb, k=3, n_centroids=6, n_probe=4, n_iters=2)
+    e = {(r.vec_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.vec_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 4/6 cells: misses only pairs split across unprobed cells
+    assert recall > 0.6, recall
+    # the approximate result never exceeds k rows per query
+    per_query = {}
+    for vid, _ in a:
+        per_query[vid] = per_query.get(vid, 0) + 1
+    assert max(per_query.values()) <= 3

@@ -229,3 +229,74 @@ def test_streaming_kalman_drops_out_of_order_rows(spark, tmp_path):
     assert 99.0 not in set(got["y"])
     exp_mean, _, _, _ = kalman_filter_scalar(np.array(in_order + [2.5]))
     assert np.array_equal(got["smooth_mean"].to_numpy(), exp_mean)
+
+
+def test_streaming_sessions_merge_and_finalize(spark, tmp_path):
+    """Native session_window in streaming: a second micro-batch within
+    the gap EXTENDS the open session (one merged row), a row beyond the
+    gap opens a new session, and sessions finalize (append mode) once
+    the watermark passes; output matches the batch twin exactly."""
+    from ecov003_l2t_stars_spark.operators.sessions import (
+        session_window_agg,
+    )
+    from ecov003_l2t_stars_spark.streaming.rollup_stream import (
+        streaming_sessions,
+    )
+
+    src = str(tmp_path / "ssrc")
+    sch = "conv_id string, ts timestamp"
+    ck = str(tmp_path / "sck")
+    sink = str(tmp_path / "ssink")
+
+    def run_once():
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = (
+            streaming_sessions(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two turns 10 min apart (one session, still open)
+    rows1 = [("S", T0), ("S", T0 + dt.timedelta(minutes=10))]
+    spark.createDataFrame(rows1, sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+
+    # batch 2: +20 min (extends the session), then a turn 2 hours later
+    # (new session), then a far-future row to push the watermark past
+    # both so they finalize
+    rows2 = [
+        ("S", T0 + dt.timedelta(minutes=30)),
+        ("S", T0 + dt.timedelta(hours=3)),
+        ("Z", T0 + dt.timedelta(days=30)),
+    ]
+    spark.createDataFrame(rows2, sch).coalesce(1).write.mode(
+        "append").parquet(src)
+    run_once()
+    run_once()  # one more cycle so the watermark advance emits finals
+
+    got = (
+        spark.read.parquet(sink)
+        .where(F.col("conv_id") == "S")
+        .orderBy("session_start")
+        .collect()
+    )
+    assert [r.n_turns for r in got] == [3, 1]  # merged 3-turn + single
+
+    # exact agreement with the batch twin over the same rows
+    batch = (
+        session_window_agg(
+            spark.createDataFrame(rows1 + rows2[:2], sch), ts="ts"
+        )
+        .where(F.col("conv_id") == "S")
+        .orderBy("session_start")
+        .collect()
+    )
+    assert [(r.session_start, r.session_end, r.n_turns) for r in got] == [
+        (r.session_start, r.session_end, r.n_turns) for r in batch
+    ]
