@@ -1058,6 +1058,45 @@ _SOLAR_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Gorilla payload round-trip (SURVEY §2.10 codec + §2.1 S7 keyed sink):
+# hourly tier → delta-of-delta + XOR-encoded binary segments → decode.
+# The codec is bit-lossless, so the decoded rows must hash-match the
+# plain hourly aggregate oracle — this puts the Arrow-batched codec
+# itself under the driver's correctness gate (it was pytest-only).
+# --------------------------------------------------------------------------
+def q_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecov003_l2t_stars_spark.operators.payload import (
+        decode_payloads,
+        encode_payloads,
+    )
+
+    tier = _hourly_value_tier(spark, sf_dir).select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        "bucket_start",
+        "value_sum",
+    )
+    segs = encode_payloads(tier, "1h", "value_sum")
+    out = decode_payloads(segs)
+    return out.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_seconds(F.col("bucket_start").cast("timestamp")).alias(
+            "bucket_epoch_s"
+        ),
+        F.col("value").alias("value_sum"),
+    )
+
+
+_PAYLOAD_ROUNDTRIP_ORACLE = """
+    SELECT user_id,
+        CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+            AS bucket_epoch_s,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "latency_pct_1h": q_latency_pct_1h,
@@ -1079,7 +1118,10 @@ QUERIES = {
     "sessionize_30m": q_sessionize_30m,
     "ingest_backlog": q_ingest_backlog,
     "solar_angles": q_solar_angles,
+    "payload_roundtrip": q_payload_roundtrip,
 }
+
+ORACLE_SQL["payload_roundtrip"] = _PAYLOAD_ROUNDTRIP_ORACLE
 
 ORACLE_SQL["ingest_backlog"] = _INGEST_BACKLOG_ORACLE
 ORACLE_SQL["solar_angles"] = _SOLAR_ORACLE

@@ -287,16 +287,8 @@ class RollupJob:
 
         # checkpoint rows: one per processed bucket, written AFTER the tier
         # partitions land (write-then-checkpoint = at-least-once, idempotent
-        # because partition overwrite is deterministic)
-        stats = (
-            lat.groupBy("conv_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("rows_processed"),
-                F.min("ts").alias("bucket_range_start"),
-                F.max("ts").alias("bucket_range_end"),
-            )
-            .collect()
-        )
+        # because partition overwrite is deterministic). Reuses the stats
+        # pass collected before the tier builds — no second scan of lat.
         by_bucket = {r.conv_bucket: r for r in stats}
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         ckpt_rows = [

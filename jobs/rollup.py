@@ -35,6 +35,14 @@ def main() -> None:
     p.add_argument("--job-id", default="rollup")
     p.add_argument("--no-salt", action="store_true")
     p.add_argument("--master", default=None)
+    # availability gate: only run conv_buckets whose required sources
+    # have all arrived per the ingestion manifest (plans/ingest.backlog)
+    p.add_argument("--gate-manifest", default=None,
+                   help="manifest dir; enables the availability gate")
+    p.add_argument("--required-sources", default=None,
+                   help="comma list of sources that must have arrived")
+    p.add_argument("--gate-as-of", default=None,
+                   help="ISO timestamp for the give-up clock (default now)")
     args = p.parse_args()
 
     from ecov003_l2t_stars_spark.plans.pipeline import RollupConfig, RollupJob
@@ -53,7 +61,25 @@ def main() -> None:
         salted=not args.no_salt,
         job_id=args.job_id,
     )
-    metrics = RollupJob(spark, cfg).run()
+    buckets = None
+    if args.gate_manifest:
+        import datetime as dt
+
+        from ecov003_l2t_stars_spark.plans.ingest import backlog
+
+        as_of = (
+            dt.datetime.fromisoformat(args.gate_as_of)
+            if args.gate_as_of
+            else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        )
+        required = (args.required_sources or "").split(",")
+        buckets = sorted(
+            r.conv_bucket
+            for r in backlog(spark, args.gate_manifest, args.output,
+                             args.job_id, required, as_of).collect()
+            if r.status == "processable"
+        )
+    metrics = RollupJob(spark, cfg).run(buckets=buckets)
     print(json.dumps(metrics))
     spark.stop()
 
