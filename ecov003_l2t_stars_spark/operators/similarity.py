@@ -18,8 +18,10 @@ against a broadcast query set); norms are precomputed once.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _guard_quadratic(op: str, df: DataFrame, max_rows: int | None) -> None:
@@ -118,6 +120,49 @@ def lsh_signatures(
     )
 
 
+def probe_cells_col(
+    df: DataFrame, cents: np.ndarray, vec_col: str, n_probe: int
+) -> Column:
+    """``array<int>`` of the ``n_probe`` nearest centroid ids per vector.
+
+    Assignment runs as an Arrow-batched pandas UDF against a *broadcast*
+    NumPy centroid matrix: one BLAS matmul per batch
+    (``d = |x|^2 - 2 X@C.T + |c|^2``), so both the Catalyst plan size and
+    the per-row work are independent of ``n_centroids`` — the
+    literal-expression CASE chain this replaces compiled
+    O(n_centroids^2 * dim) expression nodes and choked long before real
+    IVF cell counts (sqrt(N) ~ thousands). Ties break to the lowest cell
+    index (stable argsort). Mirrors the reference's "stack pixels into a
+    matrix, one linear-algebra call" strategy
+    (VNP43NRT_jl/src/VNP43NRT.jl:310-340) at Arrow-batch granularity.
+    """
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(cents, dtype=np.float64)
+    )
+    k = int(n_probe)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        C = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64)
+        d = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        order = np.argsort(d, axis=1, kind="stable")[:, :k].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _probe(F.col(vec_col))
+
+
+def _cell_col(df: DataFrame, cents: np.ndarray, vec_col: str) -> Column:
+    """Single nearest-cell id (first probe)."""
+    return F.element_at(probe_cells_col(df, cents, vec_col, 1), 1)
+
+
 def _kmeans_fit(
     emb: DataFrame,
     id_col: str,
@@ -133,7 +178,11 @@ def _kmeans_fit(
     ``sample_mod`` trains on a deterministic 1/sample_mod hash-sample of
     the vectors (at 100 TB you fit on a sample and assign everything);
     init = per-centroid mean of a hash-partition of the sample (data
-    dependent, deterministic, no RNG over rows).
+    dependent, deterministic, no RNG over rows). Hash cells the sample
+    misses are re-seeded from the global sample mean plus a small
+    deterministic perturbation, so the fit always returns exactly
+    ``n_centroids`` rows; an empty sample raises instead of silently
+    fitting nothing.
     """
     sample = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if sample_mod > 1:
@@ -150,41 +199,33 @@ def _kmeans_fit(
         )
         .groupBy("_c")
         .agg(*dim_avg)
-        .orderBy("_c")
         .collect()
     )
-    cents = np.array([[r[f"c{i}"] for i in range(dim)] for r in init])
+    if not init:
+        raise ValueError(
+            "ivf k-means sample is empty: lower sample_mod or check the "
+            f"input (sample_mod={sample_mod})."
+        )
+    got = {int(r["_c"]): [r[f"c{i}"] for i in range(dim)] for r in init}
+    gmean = np.mean(np.array(list(got.values()), dtype=np.float64), axis=0)
+    cents = np.empty((n_centroids, dim), dtype=np.float64)
+    for c in range(n_centroids):
+        if c in got:
+            cents[c] = got[c]
+        else:  # empty init cell: global mean + deterministic perturbation
+            rng = np.random.default_rng(c)
+            cents[c] = gmean + 1e-3 * (np.abs(gmean).mean() + 1.0) * (
+                rng.standard_normal(dim)
+            )
 
     for _ in range(n_iters):
         assigned = sample.withColumn(
-            "_c", _nearest_centroid(F.col("_v"), cents)
+            "_c", _cell_col(sample, cents, "_v")
         )
         rows = assigned.groupBy("_c").agg(*dim_avg).collect()
         for r in rows:  # empty clusters keep their previous centroid
             cents[r["_c"]] = [r[f"c{i}"] for i in range(dim)]
     return cents
-
-
-def _nearest_centroid(vec: Column, cents: np.ndarray) -> Column:
-    """argmin over centroids of squared L2 distance (pure column
-    expression over broadcast literal centroids; ties → lowest index)."""
-    best_d, best_i = None, None
-    for i, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(vec, lit_c,
-                       lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        if best_d is None:
-            best_d, best_i = d, F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_i
 
 
 def ivf_topk(
@@ -204,9 +245,12 @@ def ivf_topk(
 
     The k-means twin of :func:`lsh_topk` — expected candidate set is
     n * n_probe / n_centroids per query, sub-quadratic. Centroids are
-    driver-side literals (metadata-scale); every data-sized step is a
-    DataFrame op. Recall is measured against the brute-force baseline in
-    tests, the same contract as ``lsh_topk``.
+    broadcast once as a NumPy matrix (metadata-scale); assignment and
+    probe fan-out are Arrow-batched matmuls whose plan size is
+    independent of ``n_centroids``, so the design survives production
+    cell counts (sqrt(N)). Every data-sized step is a DataFrame op.
+    Recall is measured against the brute-force baseline in tests, the
+    same contract as ``lsh_topk``.
     """
     cents = _kmeans_fit(emb, id_col, vec_col, n_centroids, n_iters, dim,
                         sample_mod)
@@ -215,31 +259,15 @@ def ivf_topk(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
     )
     # members: each vector lives in its single nearest cell
-    members = n.withColumn("_cell", _nearest_centroid(F.col("_v"), cents))
+    members = n.withColumn("_cell", _cell_col(n, cents, "_v"))
     # probes: each query fans out to its n_probe nearest cells
-    probe_cols = []
-    for i, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(F.col("_v"), lit_c,
-                       lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        probe_cols.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
     probes = n.withColumn(
-        "_probe",
-        F.explode(
-            F.slice(
-                F.array_sort(F.array(*probe_cols)), 1, n_probe
-            )
-        ),
+        "_probe", F.explode(probe_cells_col(n, cents, "_v", n_probe))
     ).select(
         F.col("_id").alias("vec_id"),
         F.col("_v").alias("_va"),
         F.col("_norm").alias("_na"),
-        F.col("_probe.cell").alias("_cell"),
+        F.col("_probe").alias("_cell"),
     )
     cand = probes.join(
         members.select(
