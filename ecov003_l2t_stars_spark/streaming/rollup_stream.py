@@ -99,6 +99,164 @@ def streaming_sessions(
     )
 
 
+LATENCY_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_turn_idx", LongType()),
+        StructField("n_late_dropped", LongType()),
+    ]
+)
+
+LATENCY_OUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", LongType()),
+        StructField("role", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("latency_s", DoubleType()),
+    ]
+)
+
+
+def make_latency_annotate():
+    """Stateful per-conv inter-turn latency for ``applyInPandasWithState``.
+
+    The streaming twin of :func:`operators.rollup.with_latency`: state
+    carries the newest processed ``(ts_us, turn_idx)`` so the first row
+    of each micro-batch gets its latency against the PREVIOUS batch's
+    last turn — identical arithmetic (int64 micro diff, one IEEE divide)
+    to the batch ``lag`` path, so the annotated stream matches the batch
+    lineage bit-for-bit on in-order data. Whole-batch concat + one clock
+    application (same cross-chunk discipline as the Kalman state).
+    Rows at/behind the persisted clock are dropped and counted, mirroring
+    the watermark give-up semantics.
+    """
+    import numpy as np
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        no_clock = -(1 << 62)
+        if state.exists:
+            last_ts_us, last_idx, n_late = state.get
+        else:
+            last_ts_us, last_idx, n_late = no_clock, -1, 0
+
+        chunks = [p for p in pdfs if len(p)]
+        frames = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            idx = pdf["turn_idx"].to_numpy()
+            fresh = (ts_us > last_ts_us) | (
+                (ts_us == last_ts_us) & (idx > last_idx)
+            )
+            n_late += int((~fresh).sum())
+            pdf = pdf[fresh]
+            ts_us = ts_us[fresh]
+            if len(pdf) > 0:
+                prev = np.empty(len(ts_us), dtype=np.int64)
+                prev[0] = last_ts_us
+                prev[1:] = ts_us[:-1]
+                # same op order as the batch lag path: int64 diff,
+                # cast double, one IEEE division by 1e6
+                lat = pd.array(
+                    (ts_us - prev).astype(np.float64) / 1_000_000.0,
+                    dtype="Float64",
+                )
+                if last_ts_us == no_clock:
+                    lat[0] = pd.NA  # conv's first-ever turn: NULL latency
+                res = pdf[["conv_id", "role", "ts"]].copy()
+                res["turn_idx"] = pdf["turn_idx"].astype("int64")
+                res["latency_s"] = lat
+                frames.append(
+                    res[["conv_id", "turn_idx", "role", "ts", "latency_s"]]
+                )
+                last_ts_us = int(ts_us[-1])
+                last_idx = int(pdf["turn_idx"].iloc[-1])
+
+        state.update((int(last_ts_us), int(last_idx), int(n_late)))
+        yield from frames
+
+    return update
+
+
+def streaming_with_latency(stream: DataFrame) -> DataFrame:
+    """Annotate a turn stream with per-conv ``latency_s`` (stateful).
+
+    ``applyInPandasWithState`` must be the LAST stateful operator in a
+    query (Spark's multi-stateful-operator rule), so the digest rollup
+    runs as a CHAINED query over this one's sink — the standard
+    file/Kafka-chained topology.
+    """
+    return (
+        stream.select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "role",
+            "ts",
+        )
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_latency_annotate(),
+            outputStructType=LATENCY_OUT_SCHEMA,
+            stateStructType=LATENCY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_rollup_1m_digest(
+    lat_stream: DataFrame, watermark: str = WATERMARK
+) -> DataFrame:
+    """Append-mode 1m tier WITH the sorted latency digest.
+
+    Input must carry ``latency_s`` (see :func:`streaming_with_latency`).
+    Each finalized bucket emits ``lat_digest`` =
+    ``array_sort(collect_list(latency_s))`` plus the exact
+    order-statistics finish, so batch compaction derives coarse-tier
+    percentiles by DIGEST MERGE (``operators.rollup.cascade_with_digest``)
+    instead of rescanning raw turns — the reference's late-product
+    recompute done incrementally. Finalized stream buckets are
+    bit-identical to ``rollup_tier_with_digest`` over the same rows
+    (asserted in tests), closing the stream/batch percentile latency gap.
+    """
+    from ecov003_l2t_stars_spark.operators.rollup import _finish_from_sorted
+
+    agg = (
+        lat_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("conv_id"), F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            *[
+                F.count(F.when(F.col("role") == r, F.lit(1))).alias(f"n_{r}")
+                for r in ROLES
+            ],
+            F.array_sort(F.collect_list("latency_s")).alias("lat_digest"),
+            F.max("latency_s").alias("latency_max"),
+            F.count("latency_s").alias("n_latency"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "n_turns",
+            *[f"n_{r}" for r in ROLES],
+            "lat_digest",
+            "latency_max",
+            "n_latency",
+        )
+        .withColumn("_lat_sorted", F.col("lat_digest"))
+    )
+    return _finish_from_sorted(agg).withColumn("tier", F.lit("1m"))
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("x", DoubleType()),
@@ -160,8 +318,18 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
             last_ts_us = no_clock
             n_late = 0
 
+        # applyInPandasWithState splits one group's rows for a SINGLE
+        # micro-batch across multiple Arrow chunks with no cross-chunk ts
+        # ordering: the clock must therefore be applied ONCE against the
+        # persisted state, on the concatenated + sorted batch — advancing
+        # it per chunk would silently drop same-batch rows that landed in
+        # a later chunk with an earlier ts. Memory is bounded by this
+        # group's share of one micro-batch (the semantic unit the filter
+        # must order anyway).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         frames = []
-        for pdf in pdfs:
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values("ts", kind="mergesort")
             if last_ts_us != no_clock:
                 ts_us = (
@@ -170,8 +338,7 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
                 fresh = (ts_us > last_ts_us).to_numpy()
                 n_late += int((~fresh).sum())
                 pdf = pdf[fresh]
-            if len(pdf) == 0:
-                continue
+        if chunks and len(pdf) > 0:
             ys = pdf["y"].to_numpy(dtype=np.float64)
             out = np.empty((len(ys), 4))
             for i, yv in enumerate(ys):
@@ -205,6 +372,7 @@ def make_kalman_update(params: KalmanParams = KalmanParams()):
             res["smooth_bias_sd"] = out[:, 3]
             frames.append(res)
 
+        # one clock advance per micro-batch, after the concat+filter
         state.update((float(x), float(b), float(pxx), float(pxb),
                       float(pbb), int(n_seen), int(last_ts_us),
                       int(n_late)))
