@@ -25,6 +25,15 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# n=3 medians de-noise single-run scheduler jitter (VERDICT r2 #6);
+# override with SPARK_GRAFT_BENCH_REPS=1 for quick local iteration
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
 def _transcripts_path(n_convs: int) -> str:
@@ -75,37 +84,47 @@ def main() -> None:
     from ecov003_l2t_stars_spark.plans.driver_queries_text import QUERIES_TEXT
 
     all_queries = {**QUERIES, **QUERIES_TEXT}
+    timings_min: dict[str, float] = {}
     for name, fn in all_queries.items():
         if name in bench_skip:
             continue
-        df = fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(REPS):  # fresh plan per rep: no reuse flattery
+            df = fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(_median(runs), 4)
+        timings_min[name] = round(min(runs), 4)
 
     # --- transcript tier pipeline -----------------------------------------
     tpath = _transcripts_path(n_convs)
-    out_dir = tempfile.mkdtemp(prefix="bench_rollup_")
-    try:
-        cfg = RollupConfig(
-            input_path=tpath,
-            output_dir=out_dir,
-            n_buckets=int(CPUS),
-            job_id="bench",
-        )
-        t0 = time.perf_counter()
-        metrics = RollupJob(spark, cfg).run()
-        pipeline_s = time.perf_counter() - t0
-        timings["tiers_pipeline"] = round(pipeline_s, 4)
-
-        total_points = 0
-        for tier in cfg.tiers:
-            total_points += (
-                spark.read.parquet(f"{out_dir}/rollup_{tier}").count()
+    pipe_runs = []
+    total_points = 0
+    turns = 0
+    for rep in range(REPS):
+        out_dir = tempfile.mkdtemp(prefix="bench_rollup_")
+        try:
+            cfg = RollupConfig(
+                input_path=tpath,
+                output_dir=out_dir,
+                n_buckets=int(CPUS),
+                job_id="bench",
             )
-        turns = metrics["rows_processed"]
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            metrics = RollupJob(spark, cfg).run()
+            pipe_runs.append(time.perf_counter() - t0)
+            if rep == 0:
+                for tier in cfg.tiers:
+                    total_points += (
+                        spark.read.parquet(f"{out_dir}/rollup_{tier}").count()
+                    )
+                turns = metrics["rows_processed"]
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    pipeline_s = _median(pipe_runs)
+    timings["tiers_pipeline"] = round(pipeline_s, 4)
+    timings_min["tiers_pipeline"] = round(min(pipe_runs), 4)
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -113,6 +132,8 @@ def main() -> None:
         "value": round(total_points / pipeline_s, 2),
         "unit": "points/sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "reps": REPS,
         "sf": sf,
         "total_sec": total,
         "pipeline_points": total_points,

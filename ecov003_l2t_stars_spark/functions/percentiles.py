@@ -84,16 +84,34 @@ def var_from_sorted(arr: Column, mean: Column) -> Column:
     return F.when(n > 1, ss / (n - F.lit(1)).cast("double"))
 
 
-def duckdb_var_expr(arr_sql: str) -> str:
-    """DuckDB twin of :func:`var_from_sorted` over a sorted list expr."""
-    n = f"len({arr_sql})"
-    fold = (
-        lambda inner: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"{inner}), (a, b) -> a + b)"
+def duckdb_fold_expr(inner_sql: str) -> str:
+    """DuckDB left fold (frozen reduction order) over a list expression."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"{inner_sql}), (a, b) -> a + b)"
     )
-    mean = f"({fold(arr_sql)} / CAST({n} AS DOUBLE))"
-    ss = fold(
-        f"list_transform({arr_sql}, x -> (x - {mean}) * (x - {mean}))"
+
+
+def duckdb_mean_expr(arr_sql: str) -> str:
+    """foldsum(arr)/len(arr) — hoist this into its OWN CTE column before
+    passing it to :func:`duckdb_var_expr`."""
+    return (
+        f"({duckdb_fold_expr(arr_sql)} / CAST(len({arr_sql}) AS DOUBLE))"
+    )
+
+
+def duckdb_var_expr(arr_sql: str, mean_sql: str) -> str:
+    """DuckDB twin of :func:`var_from_sorted` over a sorted list expr.
+
+    ``mean_sql`` MUST name a materialized column (a prior CTE column
+    built from :func:`duckdb_mean_expr`), mirroring the Spark-side rule:
+    interpolating the mean fold here would inline a full ``list_reduce``
+    inside ``list_transform`` and re-sum the array once PER ELEMENT —
+    the same O(n^2) lambda-inlining trap CLAUDE.md rule 2 bans.
+    """
+    n = f"len({arr_sql})"
+    ss = duckdb_fold_expr(
+        f"list_transform({arr_sql}, x -> (x - {mean_sql}) * (x - {mean_sql}))"
     )
     return (
         f"CASE WHEN {n} > 1 THEN {ss} / CAST({n} - 1 AS DOUBLE) END"

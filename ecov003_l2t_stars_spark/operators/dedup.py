@@ -23,8 +23,11 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
@@ -234,42 +237,64 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """62-bit SimHash over whitespace tokens (JVM expressions).
+    """62-bit SimHash over whitespace tokens.
 
     bit b of the signature = 1 iff sum over tokens of
     (+1 if bit b of token_hash62(token) else -1) > 0.
 
-    Uses the cross-engine ``token_hash62`` fold (two 31-bit polynomial
-    byte-folds packed into one positive BIGINT) instead of ``xxhash64``
-    so the full signature — and therefore the near-pair output — has an
-    exact ANSI-SQL oracle twin. 62 bits keeps the signature positive
-    (no sign-bit special case) at a negligible collision-probability
-    cost vs 64.
+    Tokenization + hashing stay JVM-side: the cross-engine
+    ``token_hash62`` fold (two 31-bit polynomial byte-folds packed into
+    one positive BIGINT) gives the full signature — and therefore the
+    near-pair output — an exact ANSI-SQL oracle twin. The 62-counter
+    accumulation then runs as ONE vectorized Arrow/NumPy kernel per
+    batch (flatten token hashes, one (n_tokens × 62) bit matrix,
+    segment-sum, pack sign bits): pure-integer ops, so it is bit-equal
+    to the old per-bit JVM folds, but a single pass instead of 62
+    interpreted higher-order folds per row (VERDICT r2 #4 — Spark's
+    ``aggregate``/``transform`` are interpreted, not codegen'd). 62 bits
+    keeps the signature positive (no sign-bit special case) at a
+    negligible collision-probability cost vs 64.
     """
-    # materialize token hashes once — the 62 per-bit folds would each
-    # re-tokenize and re-hash otherwise (no CSE inside lambdas)
+    # materialize token hashes once (rule: no computed exprs in lambdas);
+    # mapInPandas (not an expression UDF) because Spark 4.1 cannot
+    # extract a Python UDF whose collapsed argument contains
+    # higher-order-function lambdas — the plan-level operator sidesteps
+    # the ExtractPythonUDFs rule entirely
     from ecov003_l2t_stars_spark.functions.text import token_hash62
 
     toks = F.split(F.trim(F.col(text_col)), " +")
-    docs = docs.withColumn("_h", F.transform(toks, token_hash62))
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, token_hash62).alias("_h"),
+    )
+    id_type = hashed.schema["doc_id"].dataType.simpleString()
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
-    def _bit_sum(b: int):
-        # closure factory: pyspark introspects lambda arity, so the bit
-        # index must be captured outside the (acc, x) signature
-        def step(acc, x):
-            return acc + (
-                F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).cast("int")
+    def _sig(batches):
+        for pdf in batches:
+            rows = [
+                np.asarray(x, dtype=np.int64) if x is not None else None
+                for x in pdf["_h"]
+            ]
+            lens = np.array(
+                [len(x) if x is not None else 0 for x in rows],
+                dtype=np.int64,
+            )
+            out = np.zeros(len(rows), dtype=np.int64)  # NULL tokens → 0
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate([x for x in rows if x is not None
+                                       and len(x)])
+                bits = ((flat[:, None] >> shifts) & 1) * 2 - 1
+                starts = np.zeros(int(nz.sum()), dtype=np.int64)
+                starts[1:] = np.cumsum(lens[nz])[:-1]
+                sums = np.add.reduceat(bits, starts, axis=0)
+                out[nz] = ((sums > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": out}
+            )
 
-        return F.aggregate(F.col("_h"), F.lit(0), step)
-
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(_bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+    return hashed.mapInPandas(_sig, f"doc_id {id_type}, simhash long")
 
 
 def simhash_near_pairs(

@@ -747,6 +747,7 @@ ORACLE_SQL: dict[str, str] = {
 
 def _latency_oracle() -> str:
     from ecov003_l2t_stars_spark.functions.percentiles import (
+        duckdb_mean_expr,
         duckdb_pct_expr,
         duckdb_var_expr,
     )
@@ -770,14 +771,18 @@ def _latency_oracle() -> str:
                 MAX(latency_s) AS latency_max
             FROM lat
             GROUP BY 1, 2
+        ), withmean AS (
+            -- mean hoisted to its own column so the variance lambda
+            -- never inlines the fold (rule-2 twin on the oracle side)
+            SELECT *, {duckdb_mean_expr(arr)} AS _mean FROM grouped
         )
         SELECT user_id, bucket_epoch_s, n_lat,
             {duckdb_pct_expr(arr, 0.5)} AS latency_p50,
             {duckdb_pct_expr(arr, 0.9)} AS latency_p90,
             {duckdb_pct_expr(arr, 0.99)} AS latency_p99,
             latency_max,
-            {duckdb_var_expr(arr)} AS latency_var
-        FROM grouped
+            {duckdb_var_expr(arr, "_mean")} AS latency_var
+        FROM withmean
     """
 
 
