@@ -34,22 +34,34 @@ from ecov003_l2t_stars_spark.operators.rollup import (
     rollup_tier,
     with_latency,
 )
+from ecov003_l2t_stars_spark.plans.table_format import (
+    ParquetFormat,
+    TableFormat,
+)
 
 
 class IncrementalRollup:
-    """Raw-append + conv-granular tier refresh (parquet fallback layout).
+    """Raw-append + conv-granular tier refresh.
 
     raw/        append-only batches of transcript rows
     rollup_<t>/ tier tables partitioned by conv_bucket
+
+    The repair is the table-format MERGE verb
+    (:meth:`TableFormat.merge_replace_keys`): replace every affected
+    conv's tier rows with the recompute from its full raw history.
+    Default format is the parquet twin; the contract tests run this
+    class against the snapshot-isolated in-memory format too.
     """
 
     def __init__(self, spark: SparkSession, base_dir: str,
                  tiers: tuple[str, ...] = ("1m", "1h"),
-                 n_buckets: int = 32) -> None:
+                 n_buckets: int = 32,
+                 fmt: TableFormat | None = None) -> None:
         self.spark = spark
         self.base = Path(base_dir)
         self.tiers = tiers
         self.n_buckets = n_buckets
+        self.fmt = fmt or ParquetFormat()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     @property
@@ -60,13 +72,20 @@ class IncrementalRollup:
         return F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int")
 
     def ingest(self, batch: DataFrame) -> None:
-        batch.write.mode("append").parquet(self.raw_dir)
+        self.fmt.append(batch, self.raw_dir)
 
     def refresh(self, batch: DataFrame) -> dict[str, int]:
         """Recompute tiers for the convs present in ``batch`` (which must
-        already be ingested). Returns refreshed row counts per tier."""
+        already be ingested). Returns refreshed row counts per tier.
+
+        The write is one MERGE per tier: the format replaces the
+        affected convs' rows and keeps everything else (carrying
+        unaffected convs in shared partitions, with a persist barrier,
+        is the PARQUET implementation's concern — an Iceberg-class
+        format does it as a snapshot-isolated metadata MERGE).
+        """
         convs = batch.select("conv_id").distinct()
-        raw = self.spark.read.parquet(self.raw_dir)
+        raw = self.fmt.read(self.spark, self.raw_dir)
         affected = raw.join(F.broadcast(convs), "conv_id", "left_semi")
         affected = affected.repartition(self.n_buckets, "conv_id")
         lat = with_latency(normalize(affected)).persist()
@@ -76,37 +95,18 @@ class IncrementalRollup:
             tier_df = rollup_tier(lat, tier).withColumn(
                 "conv_bucket", self._bucket_col()
             )
-            path = str(self.base / f"rollup_{tier}")
-            existing = None
-            if (self.base / f"rollup_{tier}").exists():
-                existing = self.spark.read.parquet(path)
-            if existing is not None:
-                # affected conv_buckets may hold unaffected convs too —
-                # carry their existing rows into the partition overwrite
-                buckets = [
-                    r.conv_bucket
-                    for r in tier_df.select("conv_bucket").distinct().collect()
-                ]
-                keep = existing.where(
-                    F.col("conv_bucket").isin(buckets)
-                ).join(F.broadcast(convs), "conv_id", "left_anti")
-                out = keep.select(tier_df.columns).unionByName(tier_df)
-            else:
-                out = tier_df
-            # materialize BEFORE the overwrite: the union's lineage reads
-            # the very files the dynamic overwrite replaces (Iceberg's
-            # snapshot isolation makes this safe natively; the parquet
-            # fallback needs the explicit cache barrier)
-            out = out.persist()
-            counts[tier] = out.count()
-            (
-                out.repartition("conv_bucket")
-                .sortWithinPartitions("conv_id", "bucket_start")
-                .write.mode("overwrite")
-                .partitionBy("conv_bucket")
-                .parquet(path)
+            tier_df = tier_df.persist()
+            counts[tier] = tier_df.count()
+            self.fmt.merge_replace_keys(
+                self.spark,
+                str(self.base / f"rollup_{tier}"),
+                tier_df,
+                convs,
+                key_col="conv_id",
+                partition_col="conv_bucket",
+                sort_cols=("conv_id", "bucket_start"),
             )
-            out.unpersist()
+            tier_df.unpersist()
         lat.unpersist()
         return counts
 
@@ -115,4 +115,4 @@ class IncrementalRollup:
         return self.refresh(batch)
 
     def read_tier(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.base / f"rollup_{tier}"))
+        return self.fmt.read(self.spark, str(self.base / f"rollup_{tier}"))

@@ -17,15 +17,17 @@ re-expressed as a checkpoints table over conv-hash partitions:
   (job_id, partition, bucket range, rows_processed, lineage). Restart
   skips checkpointed buckets (FIXTURES.md §4).
 - outputs are parquet directories partitioned by ``conv_bucket`` — the
-  layout an Iceberg ``bucket(N, conv_id)`` partition spec produces. The
-  write path is DESIGNED for Iceberg (swap ``.parquet(path)`` for
-  ``.writeTo(table)`` against a configured catalog) but is NOT yet
-  exercised against an Iceberg runtime: this sandbox has no
-  iceberg-spark-runtime jar and no network to fetch one, so every tested
-  claim rests on the parquet layout twin. On Iceberg, the dynamic
-  partition overwrite becomes ``overwritePartitions()``, retention's
-  partition-dir deletes become a metadata ``DELETE WHERE``, and the
-  late-data persist barrier becomes a snapshot-isolated ``MERGE``.
+  layout an Iceberg ``bucket(N, conv_id)`` partition spec produces. All
+  table writes go through the :mod:`plans.table_format` contract
+  (``overwrite_partitions`` / ``delete_where`` / ``merge_replace_keys``
+  — Iceberg's ``overwritePartitions()``, metadata ``DELETE WHERE``, and
+  snapshot-isolated ``MERGE``). The default implementation is the
+  parquet twin; the contract is EXERCISED against a snapshot-isolated
+  in-memory format in tests/test_table_format.py (pipeline, retention,
+  and late-data repair produce identical tables under both). An actual
+  Iceberg runtime still cannot run here (no iceberg-spark-runtime jar,
+  no network); wiring one in means implementing TableFormat with
+  ``writeTo`` calls.
 
 Scale: the job never collects data rows; the only driver-side state is
 the checkpoint bookkeeping (n_buckets rows).
@@ -105,12 +107,17 @@ class RollupConfig:
 
 
 class RollupJob:
-    def __init__(self, spark: SparkSession, cfg: RollupConfig) -> None:
+    def __init__(
+        self, spark: SparkSession, cfg: RollupConfig, fmt=None
+    ) -> None:
         import threading
+
+        from ecov003_l2t_stars_spark.plans.table_format import ParquetFormat
 
         self.spark = spark
         self.cfg = cfg
         self.out = Path(cfg.output_dir)
+        self.fmt = fmt or ParquetFormat()
         self._state_lock = threading.Lock()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -120,10 +127,9 @@ class RollupJob:
         return str(self.out / "checkpoints")
 
     def completed_buckets(self) -> set[int]:
-        try:
-            df = self.spark.read.parquet(self._ckpt_path)
-        except Exception:
+        if not self.fmt.exists(self.spark, self._ckpt_path):
             return set()
+        df = self.fmt.read(self.spark, self._ckpt_path)
         rows = (
             df.where(
                 (F.col("job_id") == self.cfg.job_id)
@@ -251,28 +257,22 @@ class RollupJob:
                 with self._state_lock:
                     # appends share one output dir; concurrent jobs would
                     # race on the committer's _temporary workspace
-                    state.write.mode("append").parquet(
-                        str(self.out / "rollup_state")
-                    )
+                    self.fmt.append(state, str(self.out / "rollup_state"))
             else:
                 out_df = tier_df
 
-            (
-                out_df.withColumn("conv_bucket", _bucket_col())
-                .repartition("conv_bucket")
-                .sortWithinPartitions("conv_id", "bucket_start")
-                .write.mode("overwrite")
-                .partitionBy("conv_bucket")
-                .parquet(str(self.out / f"rollup_{tier}"))
+            self.fmt.overwrite_partitions(
+                out_df.withColumn("conv_bucket", _bucket_col()),
+                str(self.out / f"rollup_{tier}"),
+                partition_col="conv_bucket",
+                sort_cols=("conv_id", "bucket_start"),
             )
 
             segs = encode_payloads(tier_df, tier, cfg.payload_col)
-            (
-                segs.withColumn("conv_bucket", _bucket_col())
-                .repartition("conv_bucket")
-                .write.mode("overwrite")
-                .partitionBy("conv_bucket")
-                .parquet(str(self.out / f"payload_{tier}"))
+            self.fmt.overwrite_partitions(
+                segs.withColumn("conv_bucket", _bucket_col()),
+                str(self.out / f"payload_{tier}"),
+                partition_col="conv_bucket",
             )
 
         if cfg.parallel_tiers and not cfg.cascade_coarse and len(cfg.tiers) > 1:
@@ -305,9 +305,10 @@ class RollupJob:
             )
             for b in remaining
         ]
-        self.spark.createDataFrame(ckpt_rows, CHECKPOINT_SCHEMA).write.mode(
-            "append"
-        ).parquet(self._ckpt_path)
+        self.fmt.append(
+            self.spark.createDataFrame(ckpt_rows, CHECKPOINT_SCHEMA),
+            self._ckpt_path,
+        )
         for df_ in _persisted:
             df_.unpersist()
         lat.unpersist()

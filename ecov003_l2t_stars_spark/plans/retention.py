@@ -11,15 +11,16 @@ Default policy (configurable):
 
     1m  → 7 days      1h → 90 days     1d → 730 days     30d → forever
 
-Physical strategy in the parquet fallback: expired rows are removed by a
-filtered dynamic-partition overwrite of ONLY the conv_buckets that
-contain expired rows (computed by an aggregate pruning pass first — a
+Physical strategy: expiry is one table-format ``delete_where`` per tier
+(:mod:`plans.table_format`). The default parquet implementation removes
+expired rows by a filtered dynamic-partition overwrite of ONLY the
+conv_buckets that contain expired rows (aggregate pruning pass first — a
 partition holding no expired data is never rewritten), plus explicit
-removal of partitions left with zero kept rows. On Iceberg the same
-operation would be a metadata-level ``DELETE WHERE bucket_end <= cutoff``
-against a ``days(bucket_start)`` partition spec — no data rewrite — but
-this is a DESIGN claim, not yet exercised: the sandbox has no Iceberg
-runtime jar (see pipeline.py module docstring).
+removal of partitions left with zero kept rows. On Iceberg the same verb
+is a metadata-level ``DELETE WHERE bucket_end <= cutoff`` — no data
+rewrite; the contract is exercised against the snapshot-isolated
+in-memory format in tests/test_table_format.py (an actual Iceberg
+runtime still cannot run in this sandbox — no jar, no network).
 
 Safety invariant (tested): a fine bucket is only expirable if the
 covering coarse bucket is closed, i.e. cutoff_fine <= cutoff of what the
@@ -75,33 +76,28 @@ def expired_row_filter(tier: str, cutoff: dt.datetime):
     return F.col("bucket_end") <= F.lit(cutoff).cast("timestamp")
 
 
-def _has_parquet(path: Path) -> bool:
-    """True if the tier directory holds at least one data file (a fully
-    expired tier leaves an empty/metadata-only dir that Spark cannot
-    infer a schema from)."""
-    return any(path.rglob("*.parquet"))
-
-
 def enforce_retention(
     spark: SparkSession,
     output_dir: str,
     as_of: dt.datetime,
     policy: RetentionPolicy | None = None,
+    fmt=None,
 ) -> dict[str, int]:
     """Drop expired rows per tier. Returns rows dropped per tier.
 
     Idempotent: re-running with the same as_of is a no-op.
 
-    Dynamic-partition overwrite only replaces partitions PRESENT in the
-    written output, so a conv_bucket whose rows are all expired would
-    never be rewritten and its rows would silently survive. Those
-    partitions are removed explicitly after the overwrite, and the
-    dropped count reflects what was actually removed (on Iceberg the
-    whole pass is a single metadata DELETE and this bookkeeping
-    disappears).
+    The expiry is the table-format DELETE WHERE verb
+    (:meth:`plans.table_format.TableFormat.delete_where`): one predicate
+    delete per tier. The default parquet format implements it as a
+    pruned dynamic-partition overwrite plus explicit removal of
+    fully-expired partition directories; an Iceberg-class format does
+    the same as a single metadata delete (contract-tested against the
+    in-memory snapshot format).
     """
-    import shutil
+    from ecov003_l2t_stars_spark.plans.table_format import ParquetFormat
 
+    fmt = fmt or ParquetFormat()
     policy = policy or RetentionPolicy()
     policy.validate()
     dropped: dict[str, int] = {}
@@ -109,52 +105,15 @@ def enforce_retention(
 
     for tier in TIERS:
         cutoff = policy.cutoff(tier, as_of)
-        path = Path(output_dir) / f"rollup_{tier}"
-        if cutoff is None or not path.exists() or not _has_parquet(path):
+        if cutoff is None:
             dropped[tier] = 0
             continue
-        df = spark.read.parquet(str(path))
-        expired = expired_row_filter(tier, cutoff)
-
-        # pruning pass: only conv_buckets that actually hold expired rows
-        affected = [
-            r.conv_bucket
-            for r in df.where(expired)
-            .select("conv_bucket")
-            .distinct()
-            .collect()
-        ]
-        if not affected:
-            dropped[tier] = 0
-            continue
-        n_before = df.where(F.col("conv_bucket").isin(affected)).count()
-        # persist barrier: `kept` reads the same files the overwrite
-        # replaces (CLAUDE.md rule 8) and is consulted again afterwards
-        kept = (
-            df.where(F.col("conv_bucket").isin(affected))
-            .where(~expired)
-            .persist()
+        dropped[tier] = fmt.delete_where(
+            spark,
+            str(Path(output_dir) / f"rollup_{tier}"),
+            expired_row_filter(tier, cutoff),
+            partition_col="conv_bucket",
         )
-        n_after = kept.count()
-        kept_buckets = {
-            r.conv_bucket
-            for r in kept.select("conv_bucket").distinct().collect()
-        }
-        if n_after > 0:
-            (
-                kept.write.mode("overwrite")
-                .partitionBy("conv_bucket")
-                .parquet(str(path))
-            )
-        kept.unpersist()
-        # fully expired partitions: not present in `kept`, so the dynamic
-        # overwrite left them untouched — remove their directories
-        for b in affected:
-            if b not in kept_buckets:
-                d = path / f"conv_bucket={b}"
-                if d.exists():
-                    shutil.rmtree(d)
-        dropped[tier] = n_before - n_after
     return dropped
 
 
