@@ -50,9 +50,17 @@ MANIFEST_SCHEMA = (
     "min_ts timestamp, max_ts timestamp"
 )
 
-ATTEMPT_SCHEMA = (
-    "source string, batch_id string, attempt int, ok boolean, "
+# stored attempt log: append-only, NO attempt counter — the number is
+# derived at read time (row_number over attempted_at), so recording an
+# attempt never scans the table first (VERDICT r2 #7)
+ATTEMPT_LOG_SCHEMA = (
+    "source string, batch_id string, ok boolean, "
     "error string, attempted_at timestamp"
+)
+# shape read_attempts exposes (attempt derived)
+ATTEMPT_SCHEMA = (
+    "source string, batch_id string, ok boolean, "
+    "error string, attempted_at timestamp, attempt int"
 )
 
 
@@ -65,17 +73,40 @@ def _attempts_path(manifest_dir: str) -> Path:
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Manifest with DEFENSIVE key dedup: the writer's already-ingested
+    check is read-then-append with no atomicity, so two concurrent
+    deliveries of the same (source, batch_id) can both land (ADVICE r2).
+    Reads keep the newest row per (source, batch_id, conv_bucket) so
+    re-delivered rows can never double-count ``rows_ingested``; the
+    intended deployment is still single-writer-per-source."""
+    from pyspark.sql import Window
+
     p = _manifest_path(manifest_dir)
     if not p.exists():
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    return spark.read.parquet(str(p))
+    w = Window.partitionBy("source", "batch_id", "conv_bucket").orderBy(
+        F.col("arrived_at").desc()
+    )
+    return (
+        spark.read.parquet(str(p))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def read_attempts(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Attempt log with the ``attempt`` ordinal DERIVED at read time —
+    one window over the log instead of a full-table scan per append."""
+    from pyspark.sql import Window
+
     p = _attempts_path(manifest_dir)
     if not p.exists():
         return spark.createDataFrame([], ATTEMPT_SCHEMA)
-    return spark.read.parquet(str(p))
+    w = Window.partitionBy("source", "batch_id").orderBy("attempted_at")
+    return spark.read.parquet(str(p)).withColumn(
+        "attempt", F.row_number().over(w)
+    )
 
 
 def ingest(
@@ -155,21 +186,43 @@ def record_attempt(
     error: str | None = None,
     attempted_at: dt.datetime | None = None,
 ) -> None:
-    """Append one retrieval attempt (the data-pool retry bookkeeping)."""
+    """Append one retrieval attempt (the data-pool retry bookkeeping).
+
+    Blind append: the attempt ordinal is derived at read time
+    (:func:`read_attempts`), so this never reads the table — O(1) per
+    attempt instead of a full-table scan + max.
+    """
     attempted_at = attempted_at or dt.datetime.now(
         dt.timezone.utc
     ).replace(tzinfo=None)
-    prev = (
-        read_attempts(spark, manifest_dir)
-        .where((F.col("source") == source) & (F.col("batch_id") == batch_id))
-        .agg(F.coalesce(F.max("attempt"), F.lit(0)).alias("m"))
-        .collect()[0]
-        .m
-    )
-    row = [(source, batch_id, prev + 1, ok, error, attempted_at)]
-    spark.createDataFrame(row, ATTEMPT_SCHEMA).write.mode("append").parquet(
-        str(_attempts_path(manifest_dir))
-    )
+    row = [(source, batch_id, ok, error, attempted_at)]
+    spark.createDataFrame(row, ATTEMPT_LOG_SCHEMA).write.mode(
+        "append"
+    ).parquet(str(_attempts_path(manifest_dir)))
+
+
+def compact_bookkeeping(
+    spark: SparkSession, manifest_dir: str, target_files: int = 1
+) -> dict[str, int]:
+    """Small-file maintenance for the bookkeeping tables: every ingest /
+    attempt append lands one tiny file, so high-frequency ingestion is a
+    small-file farm without periodic compaction. Rewrites each table
+    into ``target_files`` files (the ``compact_tier`` pattern; persist
+    barrier per CLAUDE.md rule 8 — the rewrite reads the files it
+    replaces). Returns row counts per table."""
+    out: dict[str, int] = {}
+    for name, path in (
+        ("manifest", _manifest_path(manifest_dir)),
+        ("attempts", _attempts_path(manifest_dir)),
+    ):
+        if not path.exists():
+            out[name] = 0
+            continue
+        df = spark.read.parquet(str(path)).persist()
+        out[name] = df.count()
+        df.coalesce(target_files).write.mode("overwrite").parquet(str(path))
+        df.unpersist()
+    return out
 
 
 def retry_candidates(

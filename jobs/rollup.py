@@ -72,7 +72,14 @@ def main() -> None:
             if args.gate_as_of
             else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         )
-        required = (args.required_sources or "").split(",")
+        # an empty required set would degrade the gate to "any one
+        # source arrived" (n_req counts the empty string) — refuse
+        required = [
+            s for s in (args.required_sources or "").split(",") if s
+        ]
+        if not required:
+            p.error("--gate-manifest requires --required-sources "
+                    "(comma list of sources that must have arrived)")
         buckets = sorted(
             r.conv_bucket
             for r in backlog(spark, args.gate_manifest, args.output,

@@ -90,6 +90,70 @@ def test_retry_bookkeeping(spark, tmp_path):
     assert retry_candidates(spark, mdir, max_attempts=3).count() == 0
 
 
+def test_double_delivery_cannot_double_count(spark, tmp_path):
+    """ADVICE r2: the already-ingested check is read-then-append with no
+    atomicity — two concurrent deliveries of one (source, batch_id) can
+    both land. Reads must dedup defensively so rows_ingested never
+    double-counts."""
+    src = str(tmp_path / "alpha.parquet")
+    write_transcripts_parquet(src, GenSpec(n_convs=40))
+    mdir = str(tmp_path / "m")
+    r1 = ingest(spark, src, mdir, "alpha", "b1", N_BUCKETS, T_ARRIVE)
+
+    # simulate the racing second writer: append the same manifest rows
+    # again (bypassing the check, as a concurrent ingest would)
+    dup = spark.read.parquet(f"{mdir}/manifest").withColumn(
+        "arrived_at", F.col("arrived_at") + F.expr("INTERVAL 1 MINUTE")
+    )
+    dup.write.mode("append").parquet(f"{mdir}/manifest")
+
+    m = read_manifest(spark, mdir)
+    assert m.count() == N_BUCKETS  # one row per (source,batch,bucket)
+    total = m.agg(F.sum("rows_ingested")).collect()[0][0]
+    assert total == r1["rows_ingested"]  # not doubled
+    bl = backlog(spark, mdir, str(tmp_path / "nojob"), "j", ["alpha"],
+                 as_of=T_ARRIVE)
+    assert (
+        bl.agg(F.sum("rows_ingested")).collect()[0][0]
+        == r1["rows_ingested"]
+    )
+
+
+def test_compact_bookkeeping(spark, tmp_path):
+    """Per-batch appends land one tiny file each; compaction rewrites
+    the bookkeeping tables without changing their contents."""
+    from pathlib import Path
+
+    from ecov003_l2t_stars_spark.plans.ingest import compact_bookkeeping
+
+    mdir = str(tmp_path / "m")
+    t = dt.datetime(2025, 2, 1)
+    for i in range(5):
+        record_attempt(spark, mdir, "beta", "b7", ok=False, error=f"e{i}",
+                       attempted_at=t + dt.timedelta(minutes=i))
+    src = str(tmp_path / "g.parquet")
+    write_transcripts_parquet(src, GenSpec(n_convs=5))
+    ingest(spark, src, mdir, "alpha", "a1", N_BUCKETS, T_ARRIVE)
+
+    from ecov003_l2t_stars_spark.plans.ingest import read_attempts
+
+    def attempts_set():
+        return {
+            (r.source, r.batch_id, r.attempt, r.error)
+            for r in read_attempts(spark, mdir).collect()
+        }
+
+    before = attempts_set()
+    assert {a for (_, _, a, _) in before} == {1, 2, 3, 4, 5}  # derived
+    n_files = len(list(Path(mdir, "attempts").glob("*.parquet")))
+    assert n_files >= 5  # one per append
+    n_manifest = read_manifest(spark, mdir).count()
+    counts = compact_bookkeeping(spark, mdir)
+    assert counts == {"manifest": n_manifest, "attempts": 5}
+    assert len(list(Path(mdir, "attempts").glob("*.parquet"))) == 1
+    assert attempts_set() == before
+
+
 def test_backlog_classification(spark, tmp_path):
     """done / processable / pending / gave_up over real pipeline
     checkpoints (the L2T_STARS availability+latency scan)."""
