@@ -28,9 +28,17 @@ from ecov003_l2t_stars_spark.functions.wls import (
     DEFAULT_SCALE,
     DEFAULT_WINDOW,
     wls_trailing,
+    wls_trailing_rank3,
 )
 
 WLS_COLS = ("wls_trend", "wls_level", "wls_se", "wls_r2")
+_FIELD_OF = {
+    "wls_trend": "trend",
+    "wls_level": "level",
+    "wls_se": "se",
+    "wls_r2": "r2",
+    "wls_curv": "curv",
+}
 
 
 def wls_tier(
@@ -41,8 +49,18 @@ def wls_tier(
     scale: float = DEFAULT_SCALE,
     min_obs: int = DEFAULT_MIN_OBS,
     n_groups: int | None = None,
+    design: str = "rank2",
 ) -> DataFrame:
-    """Append wls_trend/level/se/r2 (+ wls_n) to a dense tier table."""
+    """Append wls_trend/level/se/r2 (+ wls_n) to a dense tier table.
+
+    ``design="rank3"`` uses the [1, x, x^2] kernel (the reference's
+    3-parameter normal-equations analog, VNP43NRT.jl:365-369) and
+    additionally appends ``wls_curv``.
+    """
+    if design not in ("rank2", "rank3"):
+        raise ValueError(f"unknown design {design!r}")
+    kernel = wls_trailing if design == "rank2" else wls_trailing_rank3
+    out_cols = list(WLS_COLS) + (["wls_curv"] if design == "rank3" else [])
     spark = filled_df.sparkSession
     if n_groups is None:
         n_groups = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -71,7 +89,7 @@ def wls_tier(
 
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != "_grp"]
-        + [StructField(c, DoubleType()) for c in WLS_COLS]
+        + [StructField(c, DoubleType()) for c in out_cols]
         + [StructField("wls_n", LongType())]
     )
     in_cols = [f.name for f in df.schema.fields if f.name != "_grp"]
@@ -83,7 +101,7 @@ def wls_tier(
         starts, lengths = _series_bounds(pdf)
         yv = pdf["_y"].to_numpy(dtype=np.float64)
 
-        flat_f = {c: np.empty(len(pdf)) for c in WLS_COLS}
+        flat_f = {c: np.empty(len(pdf)) for c in out_cols}
         flat_n = np.empty(len(pdf), dtype=np.int64)
         # per-band dense matrices: one long series bounds only its own
         # band's padding (see smooth._length_bands)
@@ -97,16 +115,13 @@ def wls_tier(
             )
             y = np.full((nb, tmax), np.nan)
             y[row_idx, col_idx] = yv[flat_pos]
-            res = wls_trailing(y, window=window, scale=scale,
-                               min_obs=min_obs)
-            flat_f["wls_trend"][flat_pos] = res["trend"][row_idx, col_idx]
-            flat_f["wls_level"][flat_pos] = res["level"][row_idx, col_idx]
-            flat_f["wls_se"][flat_pos] = res["se"][row_idx, col_idx]
-            flat_f["wls_r2"][flat_pos] = res["r2"][row_idx, col_idx]
+            res = kernel(y, window=window, scale=scale, min_obs=min_obs)
+            for c in out_cols:
+                flat_f[c][flat_pos] = res[_FIELD_OF[c]][row_idx, col_idx]
             flat_n[flat_pos] = res["n_obs"][row_idx, col_idx]
 
         out = pdf[in_cols].copy()
-        for c in WLS_COLS:
+        for c in out_cols:
             out[c] = flat_f[c]
         out["wls_n"] = flat_n
         return out

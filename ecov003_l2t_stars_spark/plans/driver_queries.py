@@ -1102,6 +1102,54 @@ _PAYLOAD_ROUNDTRIP_ORACLE = """
 """
 
 
+def q_tool_counts_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted ``map<tool, count>`` per (user, 1h bucket) — the engine's
+    ``tool_counts`` operator (operators/rollup.py:236) under the driver
+    oracle. The map itself is the output shape under test; it is
+    serialized to canonical JSON on BOTH engines because the Python
+    drivers materialize MAP differently (Spark: dict, DuckDB:
+    key/value-list dict) while their ``to_json`` render identically —
+    the sorted-entry construction is what the hash certifies."""
+    from ecov003_l2t_stars_spark.operators.rollup import tool_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+        F.col("event_type").alias("tool"),
+    )
+    tc = tool_counts(df, "1h")
+    return tc.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.unix_seconds(F.col("bucket_start")).alias("bucket_epoch_s"),
+        F.to_json(F.col("tool_counts")).alias("tool_counts_json"),
+        F.size(F.map_keys(F.col("tool_counts"))).cast("long").alias(
+            "n_tools"
+        ),
+    )
+
+
+ORACLE_SQL["tool_counts_1h"] = """
+    WITH per AS (
+        SELECT user_id,
+            CAST(FLOOR(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+                AS bucket_epoch_s,
+            event_type,
+            COUNT(*) AS cnt
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, bucket_epoch_s,
+        CAST(to_json(map_from_entries(
+            list_sort(list({'k': event_type, 'v': cnt}))
+        )) AS VARCHAR) AS tool_counts_json,
+        COUNT(*) AS n_tools
+    FROM per
+    GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rollup_1m": q_rollup_1m,
     "latency_pct_1h": q_latency_pct_1h,
@@ -1124,6 +1172,7 @@ QUERIES = {
     "ingest_backlog": q_ingest_backlog,
     "solar_angles": q_solar_angles,
     "payload_roundtrip": q_payload_roundtrip,
+    "tool_counts_1h": q_tool_counts_1h,
 }
 
 ORACLE_SQL["payload_roundtrip"] = _PAYLOAD_ROUNDTRIP_ORACLE

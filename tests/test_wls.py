@@ -54,6 +54,81 @@ def _scalar_wls(y, window, scale, min_obs):
     return out
 
 
+def test_rank3_kernel_vs_lstsq_oracle():
+    """Rank-3 kernel (closed-form 3x3 adjugate solve) vs an independent
+    np.linalg.lstsq oracle on the weighted design [1, x, x^2]."""
+    from ecov003_l2t_stars_spark.functions.wls import wls_trailing_rank3
+
+    rng = np.random.default_rng(3)
+    T, window, scale, min_obs = 60, 16, 1.87, 7
+    y = rng.normal(size=T) + 0.03 * np.arange(T) ** 1.5 / T
+    y[rng.random(T) < 0.2] = np.nan
+
+    res = wls_trailing_rank3(y, window=window, scale=scale, min_obs=min_obs)
+    w_full = recency_weights(window, scale)
+    for t in range(T):
+        lo = max(0, t - window + 1)
+        seg = y[lo: t + 1]
+        x = np.arange(-(len(seg) - 1), 1, dtype=np.float64)
+        w = w_full[window - len(seg):]
+        m = ~np.isnan(seg)
+        n = int(m.sum())
+        assert res["n_obs"][0, t] == n
+        if n < min_obs:
+            assert np.isnan(res["level"][0, t])
+            continue
+        X = np.column_stack([np.ones(n), x[m], x[m] ** 2])
+        sw = np.sqrt(w[m])
+        beta, *_ = np.linalg.lstsq(X * sw[:, None], seg[m] * sw,
+                                   rcond=None)
+        assert np.allclose(res["level"][0, t], beta[0], rtol=1e-8)
+        assert np.allclose(res["trend"][0, t], beta[1], rtol=1e-8)
+        assert np.allclose(res["curv"][0, t], beta[2], rtol=1e-8)
+        # se: sigma2 * (X'WX)^-1 [1,1]
+        A = (X * w[m][:, None]).T @ X
+        resid = seg[m] - X @ beta
+        sse = (w[m] * resid * resid).sum()
+        sigma2 = sse / (n - 3)
+        se = np.sqrt(sigma2 * np.linalg.inv(A)[1, 1])
+        assert np.allclose(res["se"][0, t], se, rtol=1e-6, equal_nan=True)
+
+
+def test_spark_rank3_appends_curvature(spark):
+    """design='rank3' through the Spark operator: wls_curv appears and
+    matches the kernel run series-by-series."""
+    from ecov003_l2t_stars_spark.functions.wls import wls_trailing_rank3
+
+    pdf = generate_transcripts(GenSpec(n_convs=12))
+    tier = rollup_tier(
+        with_latency(normalize(spark.createDataFrame(pdf))), "1h"
+    )
+    filled = gap_fill(tier, "1h", value_cols=("latency_p50",))
+    out = wls_tier(filled, "1h", signal_col="latency_p50",
+                   design="rank3").orderBy("conv_id", "bucket_start")
+    rows = out.select("conv_id", "latency_p50", "wls_level", "wls_trend",
+                      "wls_curv", "wls_n").collect()
+    assert len(rows) > 0
+    by_conv: dict = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    checked = 0
+    for conv, rs in by_conv.items():
+        y = np.array([
+            np.nan if r.latency_p50 is None else r.latency_p50 for r in rs
+        ])
+        exp = wls_trailing_rank3(y)
+        for i, r in enumerate(rs):
+            got = np.array([
+                np.nan if v is None else v
+                for v in (r.wls_level, r.wls_trend, r.wls_curv)
+            ])
+            want = np.array([exp["level"][0, i], exp["trend"][0, i],
+                             exp["curv"][0, i]])
+            assert np.allclose(got, want, equal_nan=True), (conv, i)
+            checked += 1
+    assert checked > 20
+
+
 def test_kernel_vs_scalar():
     rng = np.random.default_rng(3)
     y = rng.normal(10, 2, size=120)
