@@ -248,9 +248,14 @@ def ivf_topk(
     broadcast once as a NumPy matrix (metadata-scale); assignment and
     probe fan-out are Arrow-batched matmuls whose plan size is
     independent of ``n_centroids``, so the design survives production
-    cell counts (sqrt(N)). Every data-sized step is a DataFrame op.
-    Recall is measured against the brute-force baseline in tests, the
-    same contract as ``lsh_topk``.
+    cell counts (sqrt(N)). The exact re-rank is COGROUPED BY CELL: one
+    (queries × members) matmul per cell with a k-bounded per-cell top-k,
+    so candidate PAIRS never materialize as rows — the global re-rank
+    sees at most n · n_probe · k rows (each member lives in exactly one
+    cell, so per-cell winners are disjoint across probes). Per-task
+    memory is bounded by cell size; skewed k-means cells would need a
+    cell-size cap at production scale. Recall is measured against the
+    brute-force baseline in tests, the same contract as ``lsh_topk``.
     """
     cents = _kmeans_fit(emb, id_col, vec_col, n_centroids, n_iters, dim,
                         sample_mod)
@@ -262,31 +267,62 @@ def ivf_topk(
     members = n.withColumn("_cell", _cell_col(n, cents, "_v"))
     # probes: each query fans out to its n_probe nearest cells
     probes = n.withColumn(
-        "_probe", F.explode(probe_cells_col(n, cents, "_v", n_probe))
-    ).select(
-        F.col("_id").alias("vec_id"),
-        F.col("_v").alias("_va"),
-        F.col("_norm").alias("_na"),
-        F.col("_probe").alias("_cell"),
+        "_cell", F.explode(probe_cells_col(n, cents, "_v", n_probe))
     )
-    cand = probes.join(
-        members.select(
-            F.col("_cell"),
-            F.col("_id").alias("neighbor_id"),
-            F.col("_v").alias("_vb"),
-            F.col("_norm").alias("_nb"),
-        ),
-        "_cell",
-    ).where(F.col("vec_id") != F.col("neighbor_id")).dropDuplicates(
-        ["vec_id", "neighbor_id"]
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"vec_id {id_type}, neighbor_id {id_type}, cosine double"
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+
+    def cell_topk(probes_pdf: pd.DataFrame,
+                  members_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        )
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return empty
+        Q = np.array(probes_pdf["_v"].tolist(), dtype=np.float64)
+        M = np.array(members_pdf["_v"].tolist(), dtype=np.float64)
+        qn = probes_pdf["_norm"].to_numpy(dtype=np.float64)
+        mn = members_pdf["_norm"].to_numpy(dtype=np.float64)
+        cos = (Q @ M.T) / (qn[:, None] * mn[None, :])
+        qids = probes_pdf["_id"].to_numpy()
+        mids = members_pdf["_id"].to_numpy()
+        cos[qids[:, None] == mids[None, :]] = -np.inf  # mask self
+        # deterministic tie-break: ascending neighbor id
+        mrank = np.argsort(np.argsort(mids, kind="stable"), kind="stable")
+        kk = min(k, cos.shape[1])
+        if cos.shape[1] > kk:
+            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(
+                np.arange(cos.shape[1]), cos.shape
+            ).copy()
+        rows = np.repeat(np.arange(len(Q)), part.shape[1])
+        csub = cos[rows, part.ravel()]
+        rsub = mrank[part.ravel()]
+        order = np.lexsort((rsub, -csub, rows))
+        take = order.reshape(len(Q), part.shape[1])[:, :kk].ravel()
+        sel_q, sel_m = rows[take], part.ravel()[take]
+        keep = np.isfinite(cos[sel_q, sel_m])
+        return pd.DataFrame(
+            {
+                "vec_id": qids[sel_q[keep]],
+                "neighbor_id": mids[sel_m[keep]],
+                "cosine": cos[sel_q[keep], sel_m[keep]],
+            }
+        )
+
+    cand = (
+        probes.groupBy("_cell")
+        .cogroup(members.groupBy("_cell"))
+        .applyInPandas(cell_topk, out_schema)
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cand.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )

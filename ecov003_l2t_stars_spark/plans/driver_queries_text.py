@@ -281,6 +281,22 @@ def _simhash_oracle() -> str:
     """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the ANN SCALE path (k-means cells +
+    n_probe fan-out + exact re-rank within probed cells), exercised at
+    bench scale. Rows-only driver check: the result is approximate by
+    design (recall vs the brute-force baseline is pytest-measured;
+    ``cosine_topk`` is the oracle-exact twin), so no SQL oracle exists.
+    Deterministic end to end: hash-partition k-means init, no RNG over
+    rows, broadcast-NumPy centroid assignment."""
+    from ecov003_l2t_stars_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), k=5, n_centroids=16, n_probe=4, n_iters=2,
+        dim=64,
+    )
+
+
 QUERIES_TEXT = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -289,6 +305,7 @@ QUERIES_TEXT = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL_TEXT = {
