@@ -111,6 +111,50 @@ def token_hash62(t: Column) -> Column:
     return fold(BASE) * F.lit(1 << 31).cast("long") + fold(131)
 
 
+def token_hash62_np(tokens) -> "np.ndarray":
+    """NumPy twin of :func:`token_hash62`, bit-identical, for Arrow
+    kernels (the per-character JVM fold is an interpreted HOF costing
+    O(chars) expression evaluations per token — CLAUDE.md rule 11).
+
+    Vectorized Horner folds GROUPED BY TOKEN LENGTH: one (count, L)
+    code-point matrix per distinct length (UTF-32 code points == Spark's
+    ``ascii()`` per character), L vectorized mod-steps — total work is
+    exactly the total character count, with no padding blow-up from one
+    long outlier token. Parity with the Spark expression (including the
+    empty-token → 0 edge) is pytest-asserted.
+    """
+    import numpy as np
+
+    n = len(tokens)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    sl = lens[order]
+    uniq, starts = np.unique(sl, return_index=True)
+    for ui, L in enumerate(uniq):
+        lo = starts[ui]
+        hi = starts[ui + 1] if ui + 1 < len(uniq) else n
+        idx = order[lo:hi]
+        if L == 0:  # Spark's fold over an empty token yields 0
+            continue
+        buf = "".join(tokens[i] for i in idx).encode("utf-32-le")
+        cp = (
+            np.frombuffer(buf, dtype=np.uint32)
+            .astype(np.int64)
+            .reshape(len(idx), int(L))
+        )
+        h1 = np.zeros(len(idx), dtype=np.int64)
+        h2 = np.zeros(len(idx), dtype=np.int64)
+        for p in range(int(L)):
+            c = cp[:, p]
+            h1 = (h1 * BASE + c) % MOD
+            h2 = (h2 * 131 + c) % MOD
+        out[idx] = h1 * (1 << 31) + h2
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash over token codes, mod 2^31-1.
 

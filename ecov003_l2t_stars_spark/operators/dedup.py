@@ -283,27 +283,24 @@ def simhash(
     keeps the signature positive (no sign-bit special case) at a
     negligible collision-probability cost vs 64.
     """
-    # materialize token hashes once (rule: no computed exprs in lambdas);
-    # mapInPandas (not an expression UDF) because Spark 4.1 cannot
-    # extract a Python UDF whose collapsed argument contains
-    # higher-order-function lambdas — the plan-level operator sidesteps
-    # the ExtractPythonUDFs rule entirely
-    from ecov003_l2t_stars_spark.functions.text import token_hash62
+    # Tokenization stays JVM; hashing AND the counter accumulation run in
+    # one Arrow/NumPy kernel: token_hash62_np is the bit-identical twin
+    # of the JVM expression (whose per-character fold is an interpreted
+    # HOF, O(chars) expression evals — CLAUDE.md rule 11). mapInPandas
+    # (not an expression UDF) because Spark 4.1 cannot extract a Python
+    # UDF whose collapsed argument contains HOF lambdas (rule 12).
+    from ecov003_l2t_stars_spark.functions.text import token_hash62_np
 
     toks = F.split(F.trim(F.col(text_col)), " +")
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(toks, token_hash62).alias("_h"),
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
     )
-    id_type = hashed.schema["doc_id"].dataType.simpleString()
+    id_type = tokenized.schema["doc_id"].dataType.simpleString()
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def _sig(batches):
         for pdf in batches:
-            rows = [
-                np.asarray(x, dtype=np.int64) if x is not None else None
-                for x in pdf["_h"]
-            ]
+            rows = list(pdf["_t"])
             lens = np.array(
                 [len(x) if x is not None else 0 for x in rows],
                 dtype=np.int64,
@@ -311,8 +308,11 @@ def simhash(
             out = np.zeros(len(rows), dtype=np.int64)  # NULL tokens → 0
             nz = lens > 0
             if nz.any():
-                flat = np.concatenate([x for x in rows if x is not None
-                                       and len(x)])
+                flat_tokens: list[str] = []
+                for x in rows:
+                    if x is not None and len(x):
+                        flat_tokens.extend(x)
+                flat = token_hash62_np(flat_tokens)
                 bits = ((flat[:, None] >> shifts) & 1) * 2 - 1
                 starts = np.zeros(int(nz.sum()), dtype=np.int64)
                 starts[1:] = np.cumsum(lens[nz])[:-1]
@@ -322,7 +322,7 @@ def simhash(
                 {"doc_id": pdf["doc_id"], "simhash": out}
             )
 
-    return hashed.mapInPandas(_sig, f"doc_id {id_type}, simhash long")
+    return tokenized.mapInPandas(_sig, f"doc_id {id_type}, simhash long")
 
 
 def simhash_near_pairs(

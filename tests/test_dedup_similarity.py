@@ -98,6 +98,29 @@ def test_simhash_banding_equals_bruteforce(spark, docs):
         assert 0 <= s < (1 << 62)
 
 
+def test_token_hash62_np_parity(spark, docs):
+    """token_hash62_np (vectorized Horner, Arrow-kernel path) is
+    bit-identical to the JVM expression — on real corpus tokens and on
+    the edges (empty token, unicode, whitespace)."""
+    from ecov003_l2t_stars_spark.functions.text import (
+        token_hash62,
+        token_hash62_np,
+    )
+
+    edge = ["", "a", "hello", "héllo", "日本", " x ", "a" * 200]
+    corpus_tokens = [
+        t
+        for r in docs.limit(30).collect()
+        for t in r.text.strip().split()
+    ]
+    toks = edge + corpus_tokens[:500]
+    sdf = spark.createDataFrame([(t,) for t in toks], "t string")
+    jvm = [r.h for r in sdf.select(
+        token_hash62(F.col("t")).alias("h")).collect()]
+    nps = token_hash62_np(toks)
+    assert list(nps) == jvm
+
+
 def test_ivf_quantizer_scales_to_256_cells(spark, emb):
     """VERDICT r2 #1 done-criterion: fitting 256 centroids at dim 64
     completes with a BOUNDED plan — assignment is a broadcast-NumPy
