@@ -96,30 +96,6 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
-def lsh_signatures(
-    emb: DataFrame,
-    planes: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Sign-bit signature per table: bucket = packed sign bits of
-    hyperplane dot products (JVM fold per plane, broadcast constants)."""
-    n_bits = planes.shape[0]
-    sig = None
-    for i in range(n_bits):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        bit = (
-            F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        term = bit * F.lit(2 ** i).cast("long")
-        sig = term if sig is None else sig + term
-    return emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_bucket")
-    )
-
-
 def probe_cells_col(
     df: DataFrame, cents: np.ndarray, vec_col: str, n_probe: int
 ) -> Column:
@@ -328,6 +304,38 @@ def ivf_topk(
     )
 
 
+def lsh_buckets_col(
+    df: DataFrame, planes_by_table: np.ndarray, vec_col: str
+) -> Column:
+    """``array<long>`` of one packed sign-bit bucket id per table.
+
+    One broadcast-NumPy pandas UDF for ALL tables: a single
+    (batch × n_tables·n_bits) matmul then bit-packing — plan size and
+    per-row cost independent of n_tables·n_bits·dim (the previous
+    literal-plane expressions were O(n_bits·dim) literals with one
+    interpreted fold per bit per row — the same class the IVF quantizer
+    fix removed). Sign convention matches the fold path: bit = 1 iff
+    dot > 0."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes_by_table, dtype=np.float64)
+    )
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        P = bc.value  # (n_tables, n_bits, dim)
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        n_tables, n_bits, dim = P.shape
+        X = np.array(v.tolist(), dtype=np.float64)
+        dots = X @ P.reshape(n_tables * n_bits, dim).T
+        bits = (dots > 0).astype(np.int64).reshape(len(X), n_tables, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        out = (bits * weights).sum(axis=2)  # (batch, n_tables)
+        return pd.Series(list(out))
+
+    return _buckets(F.col(vec_col))
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -338,43 +346,78 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: union of per-table bucket-local candidates,
-    exact cosine re-rank. Sub-quadratic: pairs only form within buckets
-    (expected bucket size n / 2^n_bits per table)."""
-    cands = None
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_bits, seed=seed + t)
-        sigs = lsh_signatures(emb, planes, id_col, vec_col)
-        a = sigs.select(F.col("_bucket"), F.col("_id").alias("vec_id"))
-        b = sigs.select(F.col("_bucket"), F.col("_id").alias("neighbor_id"))
-        p = a.join(b, "_bucket").where(
-            F.col("vec_id") != F.col("neighbor_id")
-        ).select("vec_id", "neighbor_id")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
+    """Approximate top-k: per-(table, bucket) exact top-k, global
+    re-rank. Sub-quadratic: candidates only form within buckets
+    (expected bucket size n / 2^n_bits per table).
 
+    Same scale shape as :func:`ivf_topk`: signatures are one broadcast
+    matmul per Arrow batch, and the exact re-rank is COGROUPED BY
+    (table, bucket) — one normalized matmul per bucket with a k-bounded
+    top-k, so candidate pairs never materialize as rows. A pair found in
+    several tables is deduplicated before the global window (unlike IVF
+    cells, LSH buckets overlap across tables)."""
+    planes = np.stack(
+        [hyperplanes(dim, n_bits, seed=seed + t) for t in range(n_tables)]
+    )
     n = with_norm(emb, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
     )
-    joined = (
-        cands.join(
-            n.select(F.col("_id").alias("vec_id"), F.col("_v").alias("_va"),
-                     F.col("_norm").alias("_na")),
-            "vec_id",
-        )
-        .join(
-            n.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_vb"),
-                     F.col("_norm").alias("_nb")),
-            "neighbor_id",
-        )
+    tabled = n.select(
+        "_id", "_v", "_norm",
+        F.posexplode(lsh_buckets_col(n, planes, "_v")).alias(
+            "_table", "_bucket"
+        ),
+    ).withColumn(
+        "_cell", F.col("_table").cast("long") * F.lit(1 << n_bits) +
+        F.col("_bucket")
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"vec_id {id_type}, neighbor_id {id_type}, cosine double"
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine": []}
+            )
+        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nr = pdf["_norm"].to_numpy(dtype=np.float64)
+        ids = pdf["_id"].to_numpy()
+        cos = (X @ X.T) / (nr[:, None] * nr[None, :])
+        np.fill_diagonal(cos, -np.inf)
+        rank = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
+        kk = min(k, cos.shape[1] - 1)
+        part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(X)), part.shape[1])
+        csub = cos[rows, part.ravel()]
+        rsub = rank[part.ravel()]
+        order = np.lexsort((rsub, -csub, rows))
+        take = order.reshape(len(X), part.shape[1])[:, :kk].ravel()
+        sel_q, sel_m = rows[take], part.ravel()[take]
+        keep = np.isfinite(cos[sel_q, sel_m])
+        return pd.DataFrame(
+            {
+                "vec_id": ids[sel_q[keep]],
+                "neighbor_id": ids[sel_m[keep]],
+                "cosine": cos[sel_q[keep], sel_m[keep]],
+            }
+        )
+
+    cand = (
+        tabled.groupBy("_cell")
+        .applyInPandas(bucket_topk, out_schema)
+        # tables overlap: the same pair can surface from several buckets
+        # with last-ulp-different BLAS dots — max() dedups DETERMINISTICALLY
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        joined.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )

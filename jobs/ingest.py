@@ -54,6 +54,11 @@ def main() -> int:
     pr.add_argument("--manifest", required=True)
     pr.add_argument("--max-attempts", type=int, default=3)
 
+    pc = sub.add_parser("compact",
+                        help="rewrite per-append small bookkeeping files")
+    pc.add_argument("--manifest", required=True)
+    pc.add_argument("--target-files", type=int, default=1)
+
     args = p.parse_args()
 
     from ecov003_l2t_stars_spark.plans import ingest as ing
@@ -83,11 +88,15 @@ def main() -> int:
             print(json.dumps(out))
             if any(r["status"] == "gave_up" for r in out):
                 rc = 3
-        else:  # retries
+        elif args.cmd == "retries":
             rows = ing.retry_candidates(
                 spark, args.manifest, args.max_attempts
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
+        else:  # compact
+            print(json.dumps(ing.compact_bookkeeping(
+                spark, args.manifest, args.target_files
+            )))
     finally:
         spark.stop()
     return rc

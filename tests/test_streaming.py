@@ -332,6 +332,49 @@ def test_streaming_digest_cascade_matches_batch(spark, tmp_path):
     )
 
 
+def test_stream_job_cli_once(spark, tmp_path, monkeypatch):
+    """jobs/stream.py --once drains the source through both chained
+    queries; a second invocation finalizes earlier buckets (checkpoints
+    persist across runs). Reuses the test session via get_spark's
+    getOrCreate."""
+    import jobs.stream as stream_job
+
+    src = str(tmp_path / "jsrc")
+    out = str(tmp_path / "jout")
+    _write_batch(spark, src, [
+        ("J", 0, "user", "t", None, T0),
+        ("J", 1, "assistant", "t", None, T0 + dt.timedelta(seconds=30)),
+    ], 1)
+
+    def run():
+        monkeypatch.setattr("sys.argv", [
+            "stream.py", "--source", src, "--out", out,
+            "--watermark", "1 minute", "--once",
+        ])
+        # keep the shared test session alive across job runs
+        monkeypatch.setattr(stream_job, "main", stream_job.main)
+        import ecov003_l2t_stars_spark.session as sess
+        real_stop = spark.stop
+        monkeypatch.setattr(type(spark), "stop", lambda self: None)
+        try:
+            stream_job.main()
+        finally:
+            monkeypatch.setattr(type(spark), "stop", real_stop)
+
+    run()
+    # watermark hasn't passed J's bucket yet → nothing finalized
+    _write_batch(spark, src, [
+        ("K", 0, "user", "t", None, T0 + dt.timedelta(days=2)),
+    ], 2)
+    run()
+    got = spark.read.parquet(f"{out}/rollup_1m_stream").where(
+        F.col("conv_id") == "J"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n_turns == 2
+    assert got[0].lat_digest == [30.0]
+
+
 def test_kalman_update_no_false_lates_across_chunks():
     """ADVICE r2 (medium): applyInPandasWithState may split ONE
     micro-batch's rows for a group across multiple Arrow chunks with no
