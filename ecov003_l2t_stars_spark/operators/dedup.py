@@ -65,6 +65,13 @@ def jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
     )
+    # non-equi self-join = BroadcastNestedLoopJoin; parallelism equals
+    # the streamed side's partitions — repartition or a single-file
+    # input runs the whole n^2 on one core
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sh = sh.repartition(n_part)
     a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))

@@ -74,8 +74,15 @@ def cosine_topk_bruteforce(
     n = with_norm(emb, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
     )
-    a = n.select(F.col("_id").alias("vec_id"), F.col("_v").alias("_va"),
-                 F.col("_norm").alias("_na"))
+    # the non-equi self-join is a BroadcastNestedLoopJoin whose
+    # parallelism equals the STREAMED side's partition count — a
+    # single-file input otherwise runs the whole n^2 on one core
+    n_part = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    a = n.repartition(n_part).select(
+        F.col("_id").alias("vec_id"), F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"))
     b = n.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_vb"),
                  F.col("_norm").alias("_nb"))
     pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
