@@ -49,6 +49,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+# Set-similarity by TOKEN JOIN, not per-pair list_intersect: explode
+# distinct shingles, hash-join on the shingle, count shared per pair —
+# |A∩B| as a grouped join, |A∪B| = |A|+|B|-|A∩B|. Identical values
+# (same integers, one double division) but O(shared-shingle pairs)
+# instead of O(n^2 · shingles): the per-pair list_intersect oracle took
+# HOURS at 5000 docs where this takes ~80 s. (Pairs sharing zero
+# shingles vanish from the join; they cannot reach jaccard >= 0.8.)
 _JACCARD_ORACLE = """
     WITH sh AS (
         SELECT doc_id,
@@ -56,14 +63,21 @@ _JACCARD_ORACLE = """
                 range(1, greatest(len(text) - 4, 1) + 1),
                 i -> substr(text, CAST(i AS INT), 5))) AS s
         FROM documents
+    ), sz AS (
+        SELECT doc_id, len(s) AS n FROM sh
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
-            AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8
+    SELECT da AS doc_a, db AS doc_b,
+        CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz na ON na.doc_id = da
+    JOIN sz nb ON nb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
 """
 
 
