@@ -190,6 +190,165 @@ def trigrams(text: Column) -> Column:
     )
 
 
+def trigram_explode(
+    df: DataFrame,
+    text_col: str = "_t",
+    keep_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Exploded overlapping trigrams of an ALREADY-NORMALIZED column, as
+    one Arrow kernel (CLAUDE.md rule 11).
+
+    Equivalent to ``F.explode(trigrams(col))`` but linear: the Catalyst
+    ``transform(sequence(...), i -> substr(t, i, 3))`` form re-scans the
+    UTF-8 buffer from the start for every position (UTF8String char→byte
+    lookup is O(i)), so a length-L doc costs O(L²) byte scans — visible
+    on the CJK rows, where chars ≠ bytes kills the ASCII fast path.
+    Python slicing over the decoded code points is O(L) per doc.
+
+    Parity boundary: normalization (lower + regexp) stays JVM-side in
+    ``norm_text``; this kernel only slices, and Python str slicing ==
+    Spark ``substr`` == DuckDB ``substr`` (all code-point indexed).
+    A doc shorter than 3 chars yields one trigram = the whole string,
+    matching ``substr(t, 1, 3)`` over ``sequence(1, greatest(L-2, 1))``.
+    NULL text rows are dropped, matching ``explode`` of a NULL array.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keep_fields = [df.schema[c] for c in keep_cols]
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            mask = texts.notna()
+            if not mask.all():
+                pdf = pdf[mask]
+                texts = pdf[text_col]
+            tl = texts.tolist()
+            n = len(tl)
+            counts = np.fromiter(
+                (max(len(t) - 2, 1) for t in tl), dtype=np.int64, count=n
+            )
+            out = {
+                c: np.asarray(pdf[c].values).repeat(counts)
+                for c in keep_cols
+            }
+            out["tg"] = [
+                t[i:i + 3] for t in tl for i in range(max(len(t) - 2, 1))
+            ]
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(keep_fields) + [StructField("tg", StringType())]
+    )
+    return df.select(*keep_cols, text_col).mapInPandas(gen, out_schema)
+
+
+def trigram_counts(
+    df: DataFrame,
+    text_col: str = "_t",
+    keep_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Per-row trigram COUNTS — (keep_cols..., tg, c) — in one Arrow
+    kernel with NO shuffle.
+
+    A document's trigrams all live inside its own Arrow batch row, so
+    the (row, trigram) → count aggregation is exact map-side: this
+    replaces ``trigram_explode(...).groupBy(keys, "tg").count()``
+    (a ~2× wider shuffle of every trigram occurrence as a string row)
+    with a per-doc ``Counter``. Same parity boundary as
+    ``trigram_explode``: slicing only, normalization stays JVM-side.
+    """
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    keep_fields = [df.schema[c] for c in keep_cols]
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            mask = texts.notna()
+            if not mask.all():
+                pdf = pdf[mask]
+                texts = pdf[text_col]
+            tl = texts.tolist()
+            n = len(tl)
+            sizes = np.empty(n, dtype=np.int64)
+            tgs = []
+            cs = []
+            for j, t in enumerate(tl):
+                cnt = Counter(
+                    t[i:i + 3] for i in range(max(len(t) - 2, 1))
+                )
+                sizes[j] = len(cnt)
+                tgs.extend(cnt.keys())
+                cs.extend(cnt.values())
+            out = {
+                c: np.asarray(pdf[c].values).repeat(sizes)
+                for c in keep_cols
+            }
+            out["tg"] = tgs
+            out["c"] = np.asarray(cs, dtype=np.int64)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(keep_fields)
+        + [StructField("tg", StringType()), StructField("c", LongType())]
+    )
+    return df.select(*keep_cols, text_col).mapInPandas(gen, out_schema)
+
+
+def lang_id_self(docs: DataFrame, top_n: int = 200) -> DataFrame:
+    """Self-labeled lang-ID: profiles and classification from ONE trigram
+    extraction pass.
+
+    ``build_lang_profiles`` + ``classify_lang`` each explode the whole
+    corpus (two scans, two interpreted-HOF passes — rule 10's
+    no-ReusedExchange trap). Here ``trigram_counts`` produces the
+    (doc_id, lang, tg, c) base in one shuffle-free kernel pass; the
+    per-language counts are a second-level rollup (sum of c) and the
+    distinct doc-trigram pairs are the group keys themselves. Scores
+    and tie-breaks are identical to ``classify_lang`` (integer math,
+    argmax with lexicographic tie-break).
+    """
+    from pyspark.sql import Window
+
+    norm = docs.withColumn("_t", norm_text(F.col("text")))
+    base = trigram_counts(norm, "_t", ("doc_id", "lang")).persist()
+    counts = base.groupBy("lang", "tg").agg(F.sum("c").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))
+    profiles = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("lang", "tg", "rank")
+    )
+    doc_tg = base.select("doc_id", "tg")
+    scored = (
+        doc_tg.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.lit(top_n) - F.col("rank")).alias("score"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
 def build_lang_profiles(
     labeled: DataFrame, text_col: str = "text", lang_col: str = "lang",
     top_n: int = 200,

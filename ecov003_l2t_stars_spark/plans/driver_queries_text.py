@@ -209,14 +209,9 @@ _FP_ORACLE = """
 # broadcast-join classification — fully integer-scored, SQL-expressible
 # --------------------------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecov003_l2t_stars_spark.functions.text import (
-        build_lang_profiles,
-        classify_lang,
-    )
+    from ecov003_l2t_stars_spark.functions.text import lang_id_self
 
-    docs = _docs(spark, sf_dir)
-    profiles = build_lang_profiles(docs, top_n=200)
-    return classify_lang(docs, profiles)
+    return lang_id_self(_docs(spark, sf_dir), top_n=200)
 
 
 _LANG_ORACLE = """

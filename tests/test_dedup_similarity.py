@@ -197,6 +197,60 @@ def test_lang_profiles_shape(spark, docs):
     assert pred.count() == docs.count()  # every doc classified
 
 
+def test_trigram_kernels_match_expression_path(spark, docs):
+    """The Arrow trigram kernels (explode + map-side counts) are
+    multiset-identical to the Catalyst transform+substr expression form,
+    including the len<3 whole-string edge and CJK rows."""
+    from ecov003_l2t_stars_spark.functions.text import (
+        norm_text,
+        trigram_counts,
+        trigram_explode,
+        trigrams,
+    )
+
+    extra = spark.createDataFrame(
+        [(90001, "ab", "xx"), (90002, "", "xx"), (90003, "语言识别测试", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    norm = (
+        docs.select("doc_id", "text", "lang")
+        .unionByName(extra)
+        .withColumn("_t", norm_text(F.col("text")))
+    )
+    expr = (
+        norm.select("doc_id", F.explode(trigrams(F.col("_t"))).alias("tg"))
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k_exp = (
+        trigram_explode(norm, "_t", ("doc_id",))
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k_cnt = trigram_counts(norm, "_t", ("doc_id",))
+    ref = sorted(map(tuple, expr.collect()))
+    assert sorted(map(tuple, k_exp.collect())) == ref
+    assert sorted(map(tuple, k_cnt.collect())) == ref
+
+
+def test_lang_id_self_equals_two_pass(spark, docs):
+    """lang_id_self (one extraction pass) is row-identical to
+    build_lang_profiles + classify_lang (two passes)."""
+    from ecov003_l2t_stars_spark.functions.text import (
+        build_lang_profiles,
+        classify_lang,
+        lang_id_self,
+    )
+
+    one = lang_id_self(docs).orderBy("doc_id").collect()
+    two = (
+        classify_lang(docs, build_lang_profiles(docs))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert one == two
+
+
 def test_fingerprint_deterministic_and_sensitive(spark):
     from ecov003_l2t_stars_spark.functions.text import fingerprint
 
