@@ -252,7 +252,12 @@ class RollupJob:
                     value_cols=cfg.fill_cols,
                     method=cfg.fill_method,
                 )
-                out_df = smooth_tier(filled, tier, params=cfg.kalman)
+                # persisted: the gapfill+smooth chain has two consumers
+                # (posterior-state append, tier partition write) and is
+                # the most expensive per-tier compute — without the
+                # barrier it runs twice (measured ~5s/run at sf0.1)
+                out_df = smooth_tier(filled, tier, params=cfg.kalman).persist()
+                _persisted.append(out_df)
                 state = posterior_state(out_df, tier, as_of)
                 with self._state_lock:
                     # appends share one output dir; concurrent jobs would
