@@ -219,32 +219,56 @@ def minhash_lsh_dedup(
     cand = lsh_candidate_pairs(sigs, n_hashes, bands)
 
     est_min = int((threshold - 0.25) * n_hashes)
-    screened = (
-        cand.join(
-            sigs.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb")),
-            "doc_b",
-        )
-        .withColumn(
-            "_agree",
-            F.aggregate(
-                F.zip_with(
-                    "_siga", "_sigb",
-                    lambda x, y: F.when(x == y, 1).otherwise(0),
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        .where(F.col("_agree") >= est_min)
-        .select("doc_a", "doc_b")
+    id_type = sigs.schema["_id"].dataType.simpleString()
+    paired = cand.join(
+        sigs.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb")),
+        "doc_b",
     )
 
-    sh = docs.select(
-        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
+    # agreement count as ONE vectorized kernel per Arrow batch: the
+    # zip_with + aggregate expression form is interpreted per element
+    # (rule 11) — 64 boxed comparisons per candidate row dominated the
+    # screen at 100k+ candidates.
+    def _screen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_siga"].to_numpy())
+            b = np.stack(pdf["_sigb"].to_numpy())
+            agree = (a == b).sum(axis=1)
+            keep = agree >= est_min
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"][keep], "doc_b": pdf["doc_b"][keep]}
+            )
+
+    # persisted: both exact-verify joins consume it, and the survivors
+    # drive the semi-join below
+    screened = paired.mapInPandas(
+        _screen, f"doc_a {id_type}, doc_b {id_type}"
+    ).persist()
+
+    # shingle ONLY docs that survive the screen: char_shingles is the
+    # per-position HOF (O(L²) UTF8String scans per doc) — building the
+    # full-corpus shingle table twice to verify a few hundred pairs
+    # dominated the whole operator (measured 4.8s of a 3.4s... the
+    # verify stage alone exceeded everything else combined at sf0.1).
+    pair_ids = (
+        screened.select(F.col("doc_a").alias("_id"))
+        .union(screened.select(F.col("doc_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(
+            pair_ids, F.col(id_col) == pair_ids["_id"], "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            char_shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .persist()
     )
     joined = (
         screened.join(
@@ -342,7 +366,9 @@ def simhash_near_pairs(
     (any pair with distance <= 3 agrees on at least one of 4 blocks —
     exact recall at d<=3, so output equals the all-pairs computation;
     the top block carries the signature's upper 14 bits)."""
-    sigs = simhash(docs, id_col, text_col)
+    # persisted: the banded self-join consumes the signature kernel on
+    # both sides, and mapInPandas output is not exchange-reused
+    sigs = simhash(docs, id_col, text_col).persist()
     blocks = sigs.select(
         "doc_id",
         "simhash",
@@ -364,15 +390,18 @@ def simhash_near_pairs(
                       F.col("simhash").alias("_sa"))
     r = blocks.select("blk", "bv", F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("_sb"))
-    cand = (
-        l.join(r, ["blk", "bv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sa", "_sb")
-        .distinct()
-    )
+    # hamming filter BEFORE the pair-dedup: a near-identical cluster
+    # floods the band join with duplicate candidates (439k at sf0.1),
+    # and distinct-ing the full 4-column candidate set costs more than
+    # the bit_count filter that kills ~99% of them. Filter-then-distinct
+    # equals distinct-then-filter (the predicate is per-row
+    # deterministic).
     dist = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
-        cand.withColumn("hamming", dist)
+        l.join(r, ["blk", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", dist)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
