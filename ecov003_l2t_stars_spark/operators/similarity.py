@@ -428,3 +428,90 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.42,
+    max_rows: int | None = 10_000,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold.
+
+    The embedding leg of the dedup family (exact / MinHash / SimHash /
+    n-gram are the text legs). Quadratic VERIFICATION path — guarded by
+    ``max_rows`` like the other all-pairs verifiers;
+    :func:`embedding_near_dup_lsh` is the bucketed scale path. Cosines
+    use the frozen index-order fold (:func:`_dot`), so the values are
+    bit-identical to the DuckDB oracle twin.
+    """
+    _guard_quadratic("embedding_near_pairs", emb, max_rows)
+    n = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
+    )
+    n_part = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # repartition the streamed side: the non-equi self-join is a
+    # BroadcastNestedLoopJoin whose parallelism equals the streamed
+    # side's partition count (single-file input → single-core n² else)
+    a = n.repartition(n_part).select(
+        F.col("_id").alias("vec_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = n.select(
+        F.col("_id").alias("vec_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.42,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed scale path for embedding near-dup pairs: take each
+    vector's LSH top-k (:func:`lsh_topk` — per-(table, bucket) matmuls,
+    never all-pairs), keep neighbors above ``threshold``, canonicalize
+    to (vec_a < vec_b).
+
+    Approximate: a qualifying pair is found iff the two vectors share
+    at least one LSH bucket AND the neighbor lands in the top-k —
+    recall is pytest-measured against :func:`embedding_near_pairs`.
+    ``k`` bounds per-vector output, so at near-dup thresholds (high
+    cosine → high bucket-collision probability) recall approaches 1
+    while work stays sub-quadratic.
+    """
+    top = lsh_topk(
+        emb, id_col, vec_col, k=k, n_bits=n_bits, n_tables=n_tables,
+        dim=dim, seed=seed,
+    )
+    return (
+        top.where(F.col("cosine") >= threshold)
+        .select(
+            F.least("vec_id", "neighbor_id").alias("vec_a"),
+            F.greatest("vec_id", "neighbor_id").alias("vec_b"),
+            "cosine",
+        )
+        # a pair surfaces from both endpoints' top-k lists (and possibly
+        # several tables) — max() dedups deterministically
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )

@@ -234,7 +234,9 @@ def _gapfill_query(method: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ecov003_l2t_stars_spark.operators.gapfill import gap_fill
 
-        tier = _hourly_value_tier(spark, sf_dir)
+        # persisted: gap_fill reads its input twice (grid spans + obs)
+        # and the events aggregation would otherwise run twice (rule 10)
+        tier = _hourly_value_tier(spark, sf_dir).persist()
         filled = gap_fill(tier, "1h", value_cols=("value_sum",), method=method)
         return filled.select(
             F.col("conv_id").alias("user_id"),

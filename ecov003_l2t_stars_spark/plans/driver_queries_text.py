@@ -306,11 +306,66 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, oracle-checked): every
+    (vec_a < vec_b) with cosine >= 0.42 — the threshold sits just under
+    the synthetic corpus's top pair similarities so the result is
+    non-empty at all scales. Quadratic verification path (bench-skipped
+    like ``cosine_topk``); ``embed_dup_lsh`` is the bucketed scale
+    twin."""
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.42)
+
+
+def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed LSH near-dup scale path. Rows-only driver check: output
+    is approximate by design (a strict subset of ``embed_near_pairs``;
+    recall 1.0 in the planted-duplicate regime is pytest-measured), so
+    no SQL oracle exists."""
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    return embedding_near_dup_lsh(
+        _emb(spark, sf_dir), threshold=0.42, k=20, n_tables=16, n_bits=6,
+    )
+
+
+def _embed_pairs_oracle() -> str:
+    from ecov003_l2t_stars_spark.plans.driver_queries import duck_double
+
+    return f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(a.embedding, b.embedding),
+                e -> CAST(e[1] AS DOUBLE) * CAST(e[2] AS DOUBLE))),
+            (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(a.embedding, b.embedding),
+                e -> CAST(e[1] AS DOUBLE) * CAST(e[2] AS DOUBLE))),
+            (x, y) -> x + y) / (a.nrm * b.nrm) >= {duck_double(0.42)}
+    """
+
+
 QUERIES_TEXT = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
+    "embed_near_pairs": q_embed_near_pairs,
+    "embed_dup_lsh": q_embed_dup_lsh,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
@@ -321,6 +376,7 @@ ORACLE_SQL_TEXT = {
     "ngram_jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _JACCARD_ORACLE,
     "cosine_topk": _COSINE_ORACLE,
+    "embed_near_pairs": _embed_pairs_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,
     "doc_fingerprint": _FP_ORACLE,
     "lang_id": _LANG_ORACLE,

@@ -184,6 +184,67 @@ def test_ivf_empty_sample_raises(spark, emb):
         _kmeans_fit(emb.limit(0), "vec_id", "embedding", 4, 1, 64)
 
 
+def test_embedding_near_pairs_threshold(spark, emb):
+    """Exact near-pair output: symmetric-canonical ids, all above
+    threshold, and consistent with per-pair recomputation."""
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    rows = embedding_near_pairs(emb, threshold=0.42).collect()
+    assert len(rows) > 0
+    assert all(r.vec_a < r.vec_b and r.cosine >= 0.42 for r in rows)
+
+
+def test_embedding_near_dup_lsh_planted_recall(spark, emb):
+    """Planted near-duplicates (cosine >= 0.95): the LSH path finds ALL
+    of them (recall 1.0 in the near-dup regime, where bucket-collision
+    probability per table is ~0.43 and 8 tables give P(miss) ~1e-2 per
+    pair) and emits only true pairs (subset of the exact path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = emb.limit(30).collect()
+    dup = [
+        (
+            int(r.vec_id) + 100_000,
+            (np.array(r.embedding) + rng.normal(0, 0.02, 64)).tolist(),
+        )
+        for r in base
+    ]
+    dupdf = spark.createDataFrame(dup, "vec_id long, embedding array<double>")
+    allv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).union(dupdf)
+
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_pairs,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_pairs(allv, threshold=0.95).collect()
+    }
+    assert len(exact) == 30  # each planted copy pairs with its source
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_lsh(
+            allv, threshold=0.95, k=5, n_tables=8, n_bits=8
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_embedding_near_pairs_guard(spark, emb):
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_near_pairs(emb, max_rows=10).collect()
+
+
 def test_lang_profiles_shape(spark, docs):
     from ecov003_l2t_stars_spark.functions.text import (
         build_lang_profiles,
