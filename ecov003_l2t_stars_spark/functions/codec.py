@@ -101,8 +101,36 @@ def _unzigzag(z: int) -> int:
     return (z >> 1) if (z & 1) == 0 else -((z + 1) >> 1)
 
 
+_DOD_THRESH = np.array([1 << 14, 1 << 20, 1 << 28, 1 << 36], dtype=np.int64)
+_DOD_NBP = np.array([14, 20, 28, 36, 66], dtype=np.int64)
+_DOD_COMBINED_NBITS = np.array([16, 23, 32, 41, 71], dtype=np.int64)
+_DOD_PFX = np.array([0b10, 0b110, 0b1110, 0b11110, 0], dtype=np.int64)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact bit_length of uint64 values via frexp on 32-bit halves.
+
+    frexp returns the exact binary exponent (x = m·2^e, 0.5 ≤ m < 1), so
+    bit_length(v) = e for v > 0 — no log2 rounding concerns; 32-bit
+    halves keep the float64 conversion exact."""
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    _, e_hi = np.frexp(hi)
+    _, e_lo = np.frexp(lo)
+    return np.where(hi > 0, 32 + e_hi, e_lo).astype(np.int64)
+
+
 def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
-    """Encode parallel int64-micros timestamps + float64 values."""
+    """Encode parallel int64-micros timestamps + float64 values.
+
+    Per-point metadata (delta-of-delta class, zigzag, XOR
+    leading/trailing zero counts) is precomputed vectorized; the
+    sequential window/bit-emission runs as a lean Python loop over the
+    precomputed lists, emitting each point as ONE combined field
+    (concatenation of sub-fields is associative, so the bit stream is
+    identical to the per-field writes — sha-checked in tests). Falls
+    back to the scalar path when |ts| ≥ 2^60, where int64 delta/dod
+    arithmetic could wrap (the scalar path uses Python ints)."""
     ts = np.asarray(ts_us, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     if ts.shape != vals.shape:
@@ -111,7 +139,17 @@ def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     header = struct.pack(">IQ", MAGIC, n)
     if n == 0:
         return header
+    if n > 2 and bool(np.all(np.abs(ts) < (1 << 60))):
+        return header + _encode_fields_vectorized(ts, vals)
+    return header + _encode_fields_scalar(ts, vals)
 
+
+def _encode_fields_scalar(ts: np.ndarray, vals: np.ndarray) -> bytes:
+    """Reference body encoder: Python-int arithmetic, field-at-a-time.
+
+    Handles any int64 timestamps (deltas/dods as unbounded Python ints);
+    the vectorized path is byte-parity-tested against this one."""
+    n = ts.size
     w = _BitWriter()
     # --- timestamps ---
     w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
@@ -171,7 +209,75 @@ def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
             w.write(sig - 1, 6)
             w.write(x >> trail, sig)
             prev_lead, prev_sig = lead, sig
-    return header + w.bytes()
+    return w.bytes()
+
+
+def _encode_fields_vectorized(ts: np.ndarray, vals: np.ndarray) -> bytes:
+    """Body encoder for the guarded fast path (n > 2, |ts| < 2^60)."""
+    n = ts.size
+    w = _BitWriter()
+    wr = w.write
+
+    # --- timestamps ---
+    wr(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    deltas = np.diff(ts)  # < 2^61 in magnitude under the guard
+    wr(_zigzag(int(deltas[0])), 66)
+    dods = np.diff(deltas)  # < 2^62
+    z = np.where(dods >= 0, dods << 1, ((-dods) << 1) - 1)  # < 2^63
+    cls = np.searchsorted(_DOD_THRESH, z, side="right")
+    zero = dods == 0
+    nbits_t = np.where(zero, 1, _DOD_COMBINED_NBITS[cls])
+    # escape-class combined value would need 71 bits — keep z raw there
+    # and emit the prefix separately in the loop
+    val_t = np.where(
+        zero, 0, np.where(cls < 4, (_DOD_PFX[cls] << _DOD_NBP[cls]) | z, z)
+    )
+    for v, nb in zip(val_t.tolist(), nbits_t.tolist()):
+        if nb == 71:
+            wr(0b11111, 5)
+            wr(v, 66)
+        else:
+            wr(v, nb)
+
+    # --- values (XOR) ---
+    bits = vals.view(np.uint64).copy()
+    bits[np.isnan(vals)] = np.uint64(_QNAN)
+    wr(int(bits[0]), 64)
+    x = bits[1:] ^ bits[:-1]
+    nz = x > 0
+    lead = np.minimum(64 - _bit_length_u64(x), 31)
+    lowbit = x & (~x + np.uint64(1))
+    trail = np.where(nz, _bit_length_u64(lowbit) - 1, 0)
+    xl = x.tolist()
+    ll = lead.tolist()
+    tl = trail.tolist()
+    prev_lead, prev_sig = 65, 0
+    for i in range(n - 1):
+        xi = xl[i]
+        if xi == 0:
+            wr(0, 1)
+            continue
+        li = ll[i]
+        ti = tl[i]
+        if (
+            prev_lead <= li
+            and (64 - prev_lead - prev_sig) <= ti
+            and prev_sig > 0
+        ):
+            wr(
+                (0b10 << prev_sig)
+                | (xi >> (64 - prev_lead - prev_sig)),
+                2 + prev_sig,
+            )
+        else:
+            si = 64 - li - ti
+            wr(
+                (((((0b11 << 6) | li) << 6) | (si - 1)) << si)
+                | (xi >> ti),
+                14 + si,
+            )
+            prev_lead, prev_sig = li, si
+    return w.bytes()
 
 
 def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:

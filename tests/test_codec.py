@@ -85,3 +85,51 @@ def test_property_realistic_series(seed):
     vals = rng.normal(size=n)
     vals[rng.random(n) < 0.2] = np.nan
     _roundtrip(ts, vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**60) + 1, max_value=2**60 - 1),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        min_size=3,
+        max_size=120,
+    )
+)
+def test_vectorized_encoder_byte_parity(pairs):
+    """The vectorized fast path emits EXACTLY the scalar path's bytes
+    (idempotent-write + CRC semantics depend on byte determinism)."""
+    from ecov003_l2t_stars_spark.functions.codec import (
+        _encode_fields_scalar,
+        _encode_fields_vectorized,
+    )
+
+    ts, vals = zip(*pairs)
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    assert _encode_fields_vectorized(ts, vals) == _encode_fields_scalar(
+        ts, vals
+    )
+
+
+def test_escape_class_and_guard_fallback():
+    """Timestamps beyond the 2^60 guard take the scalar path (Python-int
+    arithmetic); dods beyond 2^36 use the 5+66-bit escape class on both
+    paths — round-trips and byte-parity hold in each regime."""
+    from ecov003_l2t_stars_spark.functions.codec import (
+        _encode_fields_scalar,
+        _encode_fields_vectorized,
+    )
+
+    # escape-class dods inside the guard
+    ts = np.array([0, 1, 2**45, 2**45 + 1, 2**59], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 2.0, np.nan, -7.25])
+    assert _encode_fields_vectorized(ts, vals) == _encode_fields_scalar(
+        ts, vals
+    )
+    _roundtrip(ts, vals)
+    # beyond the guard: encode_segment must still round-trip (scalar)
+    ts2 = np.array([-(2**62), 2**62, -(2**61), 2**62 - 1], dtype=np.int64)
+    _roundtrip(ts2, np.array([0.0, 1.0, 1.0, 2.0]))
