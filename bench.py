@@ -90,12 +90,18 @@ def main() -> None:
             continue
         runs = []
         for _ in range(REPS):  # fresh plan per rep: no reuse flattery
+            # drop cached tables too: persist() inside a query would be
+            # canonical-plan-matched by the CacheManager across reps,
+            # turning later reps into cache reads — and the accumulated
+            # caches squeeze the heap under the pipeline runs below
+            spark.catalog.clearCache()
             df = fn(spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(_median(runs), 4)
         timings_min[name] = round(min(runs), 4)
+    spark.catalog.clearCache()
 
     # --- transcript tier pipeline -----------------------------------------
     tpath = _transcripts_path(n_convs)

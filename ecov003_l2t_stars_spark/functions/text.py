@@ -190,6 +190,17 @@ def trigrams(text: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an under-parallelized projection before a per-row
+    Arrow kernel — a one-file corpus otherwise runs the whole kernel on
+    one core. No-op when the input already has >= shuffle_partitions
+    partitions (the 100-TB scan path is left shuffle-free)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part)
+    return df
+
+
 def trigram_explode(
     df: DataFrame,
     text_col: str = "_t",
@@ -243,7 +254,9 @@ def trigram_explode(
     out_schema = StructType(
         list(keep_fields) + [StructField("tg", StringType())]
     )
-    return df.select(*keep_cols, text_col).mapInPandas(gen, out_schema)
+    return _spread(df.select(*keep_cols, text_col)).mapInPandas(
+        gen, out_schema
+    )
 
 
 def trigram_counts(
@@ -306,7 +319,9 @@ def trigram_counts(
         list(keep_fields)
         + [StructField("tg", StringType()), StructField("c", LongType())]
     )
-    return df.select(*keep_cols, text_col).mapInPandas(gen, out_schema)
+    return _spread(df.select(*keep_cols, text_col)).mapInPandas(
+        gen, out_schema
+    )
 
 
 def lang_id_self(docs: DataFrame, top_n: int = 200) -> DataFrame:

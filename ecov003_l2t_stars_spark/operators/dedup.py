@@ -31,13 +31,70 @@ from pyspark.sql.functions import pandas_udf
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-char shingle array (JVM expression, no UDF)."""
+    """Distinct k-char shingle array (JVM expression, no UDF).
+
+    Expression form for small inputs: ``substr(t, i, k)`` re-scans the
+    UTF-8 buffer per position (O(L²) byte scans/doc — the trigram-kernel
+    lesson). :func:`shingle_table` is the Arrow twin for corpus-scale
+    passes; multiset parity between the two is pytest-pinned."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
             lambda i: F.substr(text, i, F.lit(k)),
         )
     )
+
+
+def shingle_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(_id, _sh array<string>) — distinct k-shingles per doc as ONE
+    Arrow kernel (linear slicing over code points; ``dict.fromkeys``
+    preserves first-occurrence order exactly like ``array_distinct``).
+    Python slicing == Spark ``substr`` == DuckDB ``substr`` on code
+    points, so shingle SETS (all any consumer uses: minhash mins,
+    Jaccard set sizes) are identical to :func:`char_shingles`."""
+    sel = _spread(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    )
+    id_type = sel.schema["_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf["_t"]
+            out = [
+                None
+                if t is None
+                else list(
+                    dict.fromkeys(
+                        t[i:i + k] for i in range(max(len(t) - (k - 1), 1))
+                    )
+                )
+                for t in texts
+            ]
+            yield pd.DataFrame({"_id": pdf["_id"], "_sh": out})
+
+    return sel.mapInPandas(gen, f"_id {id_type}, _sh array<string>")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an UNDER-parallelized projection before a per-row
+    Arrow kernel.
+
+    A small corpus often arrives as one parquet file → one scan
+    partition → the whole kernel runs on one core. Only triggers when
+    the input has fewer partitions than ``spark.sql.shuffle.partitions``
+    (a wide, well-partitioned 100-TB scan is left alone — no extra
+    shuffle on the scale path); the shuffled payload is the pruned
+    (id, text) projection, negligible next to the kernel work.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_part:
+        return df.repartition(n_part)
+    return df
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -62,9 +119,7 @@ def jaccard_pairs(
     from ecov003_l2t_stars_spark.operators.similarity import _guard_quadratic
 
     _guard_quadratic("jaccard_pairs", docs, max_rows)
-    sh = docs.select(
-        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), k).alias("_sh")
-    )
+    sh = shingle_table(docs, id_col, text_col, k)
     # non-equi self-join = BroadcastNestedLoopJoin; parallelism equals
     # the streamed side's partitions — repartition or a single-file
     # input runs the whole n^2 on one core
@@ -93,64 +148,71 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, array<long> signature): universal-hash minhash family.
 
-    Each shingle is string-hashed ONCE (``xxhash64``, folded to 31 bits),
-    then the ``n_hashes`` component hashes are affine mixes in the
-    classic Carter–Wegman family ``h_j(s) = (a_j*h(s) + b_j) mod M``
-    (M = 2^31-1, 1 <= a_j < M): pairwise-independent, and every
-    intermediate stays < 2^62, safe under ANSI overflow checking. This
-    replaces the original 64-full-string-hash formulation — 64× less
-    string hashing per shingle for the same minhash guarantees. One
-    projection, no shuffle.
+    Each shingle is string-hashed ONCE (the deterministic
+    ``token_hash62`` fold, reduced mod M), then the ``n_hashes``
+    component hashes are affine mixes in the classic Carter–Wegman
+    family ``h_j(s) = (a_j*h(s) + b_j) mod M`` (M = 2^31-1,
+    1 <= a_j < M): pairwise-independent, every intermediate < 2^62.
 
-    Shingling + the one string hash stay JVM-side; the 64 affine mixes +
-    mins run as ONE vectorized Arrow/NumPy kernel per batch (one
-    ``(tokens × n_hashes)`` int64 matrix per memory-bounded row chunk,
-    ``minimum.reduceat`` per row) instead of 64 interpreted
-    ``transform``/``array_min`` passes per row — the same
-    interpreted-HOF fix as the SimHash signature (VERDICT r2 #4 class).
-    The integer arithmetic is identical (products < 2^62, pmod == ``%``
-    on non-negatives), so signatures — and therefore LSH buckets and the
-    oracle-checked pair output — are bit-unchanged.
+    The ENTIRE signature — shingling, shingle hash, mixes, mins — is
+    ONE Arrow/NumPy kernel straight off (id, text): the previous
+    Py→JVM→Py sandwich (shingle kernel → ``xxhash64`` transform → mix
+    kernel) serialized the shingle and hash arrays across the boundary
+    twice and cost more than all the math. Signatures never cross
+    engines (the driver oracle checks the exact-Jaccard PAIR OUTPUT,
+    which the banding construction recovers for any pairwise-independent
+    family — recall re-verified by the lsh==exact pytest and the green
+    sf0.01 oracle after the hash swap), so the shingle hash needs
+    determinism, not a JVM twin. Per memory-bounded shingle chunk: one
+    ``(shingles × n_hashes)`` int64 mix matrix, ``minimum.reduceat``
+    per doc (the interpreted-HOF fix class, VERDICT r2 #4).
     """
+    from ecov003_l2t_stars_spark.functions.text import token_hash62_np
+
     M = (1 << 31) - 1
     rng = np.random.default_rng(0xC0FFEE)
     a = rng.integers(1, M, size=n_hashes, dtype=np.int64)
     b = rng.integers(0, M, size=n_hashes, dtype=np.int64)
 
-    hashed = docs.withColumn(
-        "_sh", char_shingles(F.col(text_col), k)
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.transform(
-            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(M))
-        ).alias("_hs"),
+    sel = _spread(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     )
-    id_type = hashed.schema["_id"].dataType.simpleString()
-    # tokens per chunk × n_hashes × 8 B ≈ 64 MB mix-matrix ceiling
+    id_type = sel.schema["_id"].dataType.simpleString()
+    # shingles per chunk × n_hashes × 8 B ≈ 64 MB mix-matrix ceiling
     chunk_tokens = max(64 * 1024 * 1024 // (8 * n_hashes), 1024)
 
     def _sigs(batches):
         for pdf in batches:
-            rows = [
-                np.asarray(x, dtype=np.int64) if x is not None else None
-                for x in pdf["_hs"]
+            texts = pdf["_t"]
+            shingles = [
+                None
+                if t is None
+                else list(
+                    dict.fromkeys(
+                        t[i:i + k] for i in range(max(len(t) - (k - 1), 1))
+                    )
+                )
+                for t in texts
             ]
             lens = np.array(
-                [len(x) if x is not None else 0 for x in rows],
+                [len(x) if x is not None else 0 for x in shingles],
                 dtype=np.int64,
             )
-            out: list = [None] * len(rows)
+            out: list = [None] * len(shingles)
             start = 0
-            while start < len(rows):
+            while start < len(shingles):
                 end, tok = start, 0
-                while end < len(rows) and (
+                while end < len(shingles) and (
                     tok == 0 or tok + lens[end] <= chunk_tokens
                 ):
                     tok += lens[end]
                     end += 1
                 live = [i for i in range(start, end) if lens[i] > 0]
                 if live:
-                    flat = np.concatenate([rows[i] for i in live])
+                    flat_sh: list = []
+                    for i in live:
+                        flat_sh.extend(shingles[i])
+                    flat = token_hash62_np(flat_sh) % M
                     mixed = (flat[:, None] * a + b) % M
                     starts = np.zeros(len(live), dtype=np.int64)
                     starts[1:] = np.cumsum(lens[live])[:-1]
@@ -160,13 +222,22 @@ def minhash_signatures(
                 start = end
             yield pd.DataFrame({"_id": pdf["_id"], "_sig": out})
 
-    return hashed.mapInPandas(_sigs, f"_id {id_type}, _sig array<long>")
+    return sel.mapInPandas(_sigs, f"_id {id_type}, _sig array<long>")
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 64, bands: int = 16
+    signatures: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Banded LSH: explode (band, hash(rows)) keys, self-join buckets."""
+    """Banded LSH: explode (band, hash(rows)) keys, self-join buckets.
+
+    ``distinct=False`` skips the pair-dedup shuffle and returns the raw
+    (possibly multi-band-duplicated) candidate stream — right when a
+    downstream vectorized screen reduces the stream anyway and can
+    dedup its (far smaller) survivor set instead.
+    """
     r = n_hashes // bands
     banded = signatures.select(
         "_id",
@@ -186,12 +257,12 @@ def lsh_candidate_pairs(
     ).select("_id", "_b.band", "_b.bh")
     left = banded.select("band", "bh", F.col("_id").alias("doc_a"))
     right = banded.select("band", "bh", F.col("_id").alias("doc_b"))
-    return (
+    out = (
         left.join(right, ["band", "bh"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_lsh_dedup(
@@ -216,16 +287,48 @@ def minhash_lsh_dedup(
     passes with P ~ 3e-5. Exact verification then runs on the survivors
     only (measured 74.5s -> ~15s at 5000 docs)."""
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k).persist()
-    cand = lsh_candidate_pairs(sigs, n_hashes, bands)
 
     est_min = int((threshold - 0.25) * n_hashes)
     id_type = sigs.schema["_id"].dataType.simpleString()
-    paired = cand.join(
-        sigs.select(F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga")),
-        "doc_a",
-    ).join(
-        sigs.select(F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb")),
-        "doc_b",
+    # carry the signatures THROUGH the band self-join (the simhash
+    # shape): one shuffle per side keyed (band, bucket-hash), no
+    # join-back against the signature table afterwards — the previous
+    # candidates→join-sigs-twice plan either broadcast a doc-count-sized
+    # table (dead at 10^9 docs) or sort-merged the candidate stream
+    # twice. Candidates stay multi-band-duplicated here; the vectorized
+    # screen reduces them and the pair-dedup shuffle runs on the tiny
+    # survivor set instead.
+    r = n_hashes // bands
+    banded = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            *[F.col("_sig")[bnd * r + i] for i in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sig", "_b.band", "_b.bh")
+    paired = (
+        banded.select(
+            "band", "bh",
+            F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga"),
+        )
+        .join(
+            banded.select(
+                "band", "bh",
+                F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb"),
+            ),
+            ["band", "bh"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
     )
 
     # agreement count as ONE vectorized kernel per Arrow batch: the
@@ -245,10 +348,14 @@ def minhash_lsh_dedup(
             )
 
     # persisted: both exact-verify joins consume it, and the survivors
-    # drive the semi-join below
-    screened = paired.mapInPandas(
-        _screen, f"doc_a {id_type}, doc_b {id_type}"
-    ).persist()
+    # drive the semi-join below. distinct() here dedups the multi-band
+    # duplicates on the post-screen survivor set (a few hundred rows)
+    # instead of the full candidate stream.
+    screened = (
+        paired.mapInPandas(_screen, f"doc_a {id_type}, doc_b {id_type}")
+        .distinct()
+        .persist()
+    )
 
     # shingle ONLY docs that survive the screen: char_shingles is the
     # per-position HOF (O(L²) UTF8String scans per doc) — building the
@@ -260,16 +367,14 @@ def minhash_lsh_dedup(
         .union(screened.select(F.col("doc_b").alias("_id")))
         .distinct()
     )
-    sh = (
+    sh = shingle_table(
         docs.join(
             pair_ids, F.col(id_col) == pair_ids["_id"], "left_semi"
-        )
-        .select(
-            F.col(id_col).alias("_id"),
-            char_shingles(F.col(text_col), k).alias("_sh"),
-        )
-        .persist()
-    )
+        ),
+        id_col,
+        text_col,
+        k,
+    ).persist()
     joined = (
         screened.join(
             sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"),
@@ -323,8 +428,8 @@ def simhash(
     from ecov003_l2t_stars_spark.functions.text import token_hash62_np
 
     toks = F.split(F.trim(F.col(text_col)), " +")
-    tokenized = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    tokenized = _spread(
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     )
     id_type = tokenized.schema["doc_id"].dataType.simpleString()
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)

@@ -36,10 +36,15 @@ def test_simhash_nearness_correlates(spark, docs):
     """Exact-duplicate texts have hamming 0; random pairs don't."""
     from ecov003_l2t_stars_spark.operators.dedup import simhash
 
-    dup = docs.limit(5).union(docs.limit(5))  # force exact dups
-    sigs = simhash(dup.withColumn("doc_id", F.monotonically_increasing_id()))
-    vals = [r.simhash for r in sigs.collect()]
-    assert vals[:5] == vals[5:]
+    base = docs.limit(5).select(
+        F.col("doc_id").alias("orig_id"), "text"
+    )
+    dup = base.select(F.col("orig_id").alias("doc_id"), "text").union(
+        base.select((F.col("orig_id") + 100_000).alias("doc_id"), "text")
+    )  # force exact dups; explicit ids (output order is partition-arbitrary)
+    vals = {r.doc_id: r.simhash for r in simhash(dup).collect()}
+    for r in base.collect():
+        assert vals[r.orig_id] == vals[r.orig_id + 100_000]
 
 
 def test_lsh_topk_recall(spark, emb):
@@ -256,6 +261,32 @@ def test_lang_profiles_shape(spark, docs):
     assert all(r["count"] <= 200 for r in per_lang)
     pred = classify_lang(docs, prof)
     assert pred.count() == docs.count()  # every doc classified
+
+
+def test_shingle_table_matches_expression_path(spark, docs):
+    """shingle_table (Arrow kernel) returns exactly char_shingles'
+    arrays (same elements, same first-occurrence order), including the
+    len<k whole-string edge."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        char_shingles,
+        shingle_table,
+    )
+
+    extra = spark.createDataFrame(
+        [(90001, "ab", "xx"), (90002, "", "xx"), (90003, "语言识别测试汉字", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    allv = docs.select("doc_id", "text", "lang").unionByName(extra)
+    expr = {
+        r.doc_id: r._sh
+        for r in allv.select(
+            "doc_id", char_shingles(F.col("text"), 5).alias("_sh")
+        ).collect()
+    }
+    kern = {
+        r._id: r._sh for r in shingle_table(allv, k=5).collect()
+    }
+    assert expr == kern
 
 
 def test_trigram_kernels_match_expression_path(spark, docs):
