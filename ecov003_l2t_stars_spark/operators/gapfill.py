@@ -3,9 +3,12 @@
 Spark re-expression of the reference's dense-calendar alignment
 (``/root/reference/ECOv003_L2T_STARS/process_ECOSTRESS_data_fusion_distributed_bias.jl:146-179``):
 the daily axis ``dates = [start + Day(d-1) ...]`` with missing dates
-becoming all-NaN slices (jl:163-171) becomes a per-key
-``sequence()``+``explode`` bucket grid left-joined to observed tier rows;
-the observation-path "skip + observed index" variant (jl:185-219) is the
+becoming all-NaN slices (jl:163-171) becomes gap rows exploded from each
+consecutive-observation pair (lead + ``sequence``) unioned under the
+observations — no dense-grid join on the default per-conv-span path; a
+fixed ``grid_start``/``grid_end`` job window (which introduces
+leading/trailing gaps) still uses the grid ⟕ obs form. The
+observation-path "skip + observed index" variant (jl:185-219) is the
 ``fill_method`` flag.
 
 Fill semantics (frozen, mirrored by the test oracle — SURVEY §7.2):
@@ -94,13 +97,66 @@ def gap_fill(
     if method not in ("locf", "linear"):
         raise ValueError(f"unknown fill method: {method}")
     n = TIER_SECONDS[tier]
-
-    grid = dense_grid(tier_df, tier, max_buckets_per_conv, grid_start, grid_end)
-    obs = tier_df.withColumn("_obs", F.lit(True))
-    joined = grid.join(obs, ["conv_id", "bucket_start"], "left")
-
     idx = (F.unix_seconds("bucket_start") / n).cast("long")
-    joined = joined.withColumn("_idx", idx)
+
+    if grid_start is None and grid_end is None:
+        # Default (per-conv span) path WITHOUT the dense-grid join: gap
+        # rows are generated directly from each consecutive-observation
+        # pair (lead + sequence-explode) and unioned under the
+        # observations — same row set as grid ⟕ obs (per-conv grids span
+        # min..max observed bucket, so endpoints are always observed and
+        # only interior buckets are missing), but the 10×-wider grid
+        # never exists as join input and the sort-merge join disappears.
+        # The span guard rides the same conv_id partitioning as the lead
+        # window (whole-partition min/max frame — not the banned ordered
+        # unbounded-following class).
+        obs = tier_df.withColumn("_idx", idx).withColumn(
+            "_obs", F.lit(True)
+        )
+        if max_buckets_per_conv is not None:
+            w_all = Window.partitionBy("conv_id")
+            obs = (
+                obs.withColumn(
+                    "_span",
+                    F.max("_idx").over(w_all) - F.min("_idx").over(w_all),
+                )
+                .where(F.col("_span") < max_buckets_per_conv)
+                .drop("_span")
+            )
+        w_lead = Window.partitionBy("conv_id").orderBy("_idx")
+        gaps = (
+            obs.select(
+                "conv_id",
+                "_idx",
+                F.lead("_idx").over(w_lead).alias("_nxt"),
+            )
+            .where(F.col("_nxt") > F.col("_idx") + 1)
+            .select(
+                "conv_id",
+                F.explode(
+                    F.sequence(F.col("_idx") + 1, F.col("_nxt") - 1)
+                ).alias("_idx"),
+            )
+        )
+        gap_rows = gaps.select(
+            "conv_id",
+            F.timestamp_seconds(F.col("_idx") * n).alias("bucket_start"),
+            *[
+                F.lit(None).cast(tier_df.schema[c].dataType).alias(c)
+                for c in tier_df.columns
+                if c not in ("conv_id", "bucket_start")
+            ],
+            "_idx",
+            F.lit(None).cast("boolean").alias("_obs"),
+        )
+        joined = obs.unionByName(gap_rows)
+    else:
+        grid = dense_grid(
+            tier_df, tier, max_buckets_per_conv, grid_start, grid_end
+        )
+        obs = tier_df.withColumn("_obs", F.lit(True))
+        joined = grid.join(obs, ["conv_id", "bucket_start"], "left")
+        joined = joined.withColumn("_idx", idx)
 
     # Both directions use RUNNING frames (unboundedPreceding..current):
     # Spark evaluates these in O(n) per partition, whereas a
