@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -124,3 +125,107 @@ def test_real_pil_decoder_when_available(spark):
         assert feat.shape == (16,)
         # constant-color PNG decodes to a constant vector of level/255
         assert np.allclose(feat, np.float32(lvl) / 255.0, atol=1e-6)
+
+
+def test_ppm_roundtrip_and_comments():
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments are legal PPM
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+
+def test_wav_decode_known_rms():
+    import io
+    import wave
+
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        media_decoder,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(x.tobytes())
+    payload = buf.getvalue()
+    samples, got_rate = decode_wav_pcm16(payload)
+    assert got_rate == rate and samples.size == rate
+    feat = media_decoder(payload, "audio", dim=8)
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2) per segment
+    assert np.allclose(feat, 0.5 / np.sqrt(2), atol=2e-3)
+
+
+def test_real_decoder_end_to_end_spark(spark):
+    """The REAL PPM/WAV decoder through the same extract_features seam
+    the stub uses — constant-color image gives a known feature vector."""
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        extract_features,
+        media_decoder,
+        synthetic_real_media,
+    )
+
+    red = np.zeros((16, 16, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    rows = [(999, "image", encode_ppm(red), "image/x-portable-pixmap",
+             16, 16, None)]
+    const = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = synthetic_real_media(spark, n=12).unionByName(const)
+    out = {r.media_id: r for r in
+           extract_features(media, dim=16, decoder=media_decoder).collect()}
+    assert len(out) == 13
+    # constant red: gray = 255/3 → every segment mean = 85/255
+    feat = np.array(out[999].feature, dtype=np.float32)
+    assert np.allclose(feat, np.float32(85.0 / 255.0), atol=1e-6)
+    for r in out.values():
+        assert len(r.feature) == 16
+
+
+def test_resize_images_real(spark):
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[::2, ::2] = 255  # checkerboard-ish
+    rows = [(1, "image", encode_ppm(img), "image/x-portable-pixmap",
+             8, 8, None),
+            (2, "audio", b"\x00" * 32, "audio/wav", None, None, 10)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resize_images(media, 4, 4).collect()}
+    resized = decode_ppm(bytes(got[1].payload))
+    yi = (np.arange(4) * 8) // 4
+    xi = (np.arange(4) * 8) // 4
+    assert np.array_equal(resized, img[yi[:, None], xi[None, :]])
+    assert got[1].width == 4 and got[1].height == 4
+    assert bytes(got[2].payload) == b"\x00" * 32  # non-image untouched
+
+
+def test_video_raises_through_seam(spark):
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        media_decoder,
+    )
+    import pytest as _pytest
+
+    rows = [(7, "video", b"\x00" * 64, "video/mp4", None, None, 2000)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="ffmpeg"):
+        extract_features(media, decoder=media_decoder).collect()
