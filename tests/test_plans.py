@@ -105,3 +105,36 @@ def test_flags_decode_builds_lazily(spark):
 
     assert built <= bare, (built, bare)
     assert df.columns[-1] == "value_imputed"
+
+
+def test_gapfill_default_path_is_join_free(spark):
+    """The default (per-conv span) gap-fill generates gap rows by
+    lead+explode and unions them under the observations — no dense-grid
+    join anywhere in the physical plan. The fixed-window path keeps the
+    grid ⟕ obs form (leading/trailing gaps need it)."""
+    from ecov003_l2t_stars_spark.operators.gapfill import gap_fill
+    from ecov003_l2t_stars_spark.operators.rollup import rollup_tier
+
+    sdf = spark.createDataFrame(generate_transcripts(GenSpec(n_convs=30)))
+    tier = rollup_tier(with_latency(normalize(sdf)), "1h")
+    filled = gap_fill(tier, "1h", value_cols=("latency_p50",), method="locf")
+    plan = _plan(filled)
+    assert "Join" not in plan and "Union" in plan
+    windowed = gap_fill(
+        tier, "1h", value_cols=("latency_p50",), method="locf",
+        grid_start="2025-01-01", grid_end="2025-01-02",
+    )
+    assert "Join" in _plan(windowed)
+
+
+def test_minhash_plan_carries_signatures(spark):
+    """The LSH candidate+screen stage is ONE band self-join carrying the
+    signature arrays — no join-back against the signature table (which
+    could not broadcast at 10^9 docs) and no nested-loop join."""
+    from ecov003_l2t_stars_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_lsh_dedup(docs)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
