@@ -7,16 +7,18 @@ are the scale-path generalizations a 100 TB corpus needs).
 Scale design:
 
 - exact dedup: hash-groupBy, one shuffle.
-- n-gram Jaccard all-pairs: the VERIFICATION path (quadratic, used on
-  candidate sets or small corpora). Shingling and set ops stay JVM-side
-  (``transform``/``array_distinct``/``array_intersect``).
-- MinHash+LSH: the SCALE path. Signatures are computed in one projection
-  (64 ``xxhash64`` min-folds per row, no shuffle), banded into
-  ``bands`` buckets, bucket self-join yields candidates (shuffle keyed on
-  (band, band_hash) — skew-safe because buckets are hash-random), then
-  candidates are verified with exact Jaccard. Recall for
-  jaccard >= 0.8 at 64/16 banding is 1 - (1-0.8^4)^16 ≈ 0.9998.
-- SimHash: 64-bit signature via per-bit majority of token hashes;
+- n-gram Jaccard all-pairs: the VERIFICATION path (quadratic, guarded);
+  shingles come from the same Arrow kernel as the scale path, set ops
+  stay JVM-side (``array_intersect``/``array_union``).
+- MinHash+LSH: the SCALE path. The whole signature (shingles +
+  token_hash62 + 64 Carter–Wegman mixes + mins) is ONE Arrow kernel, no
+  shuffle; the band self-join CARRIES the signature arrays (shuffle
+  keyed on (band, band_hash) — skew-safe because buckets are
+  hash-random, and no join-back against a doc-count-sized signature
+  table), the vectorized estimate screen cuts candidates, and only the
+  surviving docs are shingled for exact-Jaccard verification. Recall
+  for jaccard >= 0.8 at 64/16 banding is 1 - (1-0.8^4)^16 ≈ 0.9998.
+- SimHash: 62-bit signature via per-bit majority of token hashes;
   near-dups = signatures within Hamming distance d (banded by 16-bit
   blocks for candidate generation — any pair within d<=3 shares a block).
 """
@@ -223,46 +225,6 @@ def minhash_signatures(
             yield pd.DataFrame({"_id": pdf["_id"], "_sig": out})
 
     return sel.mapInPandas(_sigs, f"_id {id_type}, _sig array<long>")
-
-
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    n_hashes: int = 64,
-    bands: int = 16,
-    distinct: bool = True,
-) -> DataFrame:
-    """Banded LSH: explode (band, hash(rows)) keys, self-join buckets.
-
-    ``distinct=False`` skips the pair-dedup shuffle and returns the raw
-    (possibly multi-band-duplicated) candidate stream — right when a
-    downstream vectorized screen reduces the stream anyway and can
-    dedup its (far smaller) survivor set instead.
-    """
-    r = n_hashes // bands
-    banded = signatures.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("_sig")[b * r + i] for i in range(r)]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_b.band", "_b.bh")
-    left = banded.select("band", "bh", F.col("_id").alias("doc_a"))
-    right = banded.select("band", "bh", F.col("_id").alias("doc_b"))
-    out = (
-        left.join(right, ["band", "bh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    return out.distinct() if distinct else out
 
 
 def minhash_lsh_dedup(
