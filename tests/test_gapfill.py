@@ -103,3 +103,97 @@ def test_missing_buckets_on_generated(spark):
     assert miss.count() == grid_n - tier.count()
     # gappy convs exist by construction (GenSpec gappy_frac)
     assert miss.count() > 0
+
+
+def test_union_path_equals_grid_join_path(spark):
+    """The default lead+explode+union gap-fill is ROW-IDENTICAL to the
+    legacy dense-grid ⟕ obs formulation on generated gappy data, for
+    both methods, including NULL-valued observed buckets."""
+    sdf = spark.createDataFrame(
+        generate_transcripts(GenSpec(n_convs=60, gappy_frac=0.5, seed=7))
+    )
+    tier = rollup_tier(with_latency(normalize(sdf)), "1h")
+
+    def legacy(tier_df, method):
+        # reproduce the grid-join formulation via the fixed-window path,
+        # bounded to each conv's own span: per-conv spans == default
+        # grid, so pin the window per conv by NOT passing grid bounds —
+        # instead call the internal pieces the way the old code did
+        from ecov003_l2t_stars_spark.operators.gapfill import (
+            COUNT_COLS,
+            TIER_SECONDS,
+            dense_grid,
+        )
+        from pyspark.sql import Window
+
+        n = TIER_SECONDS["1h"]
+        grid = dense_grid(tier_df, "1h", 2_000_000, None, None)
+        obs = tier_df.withColumn("_obs", F.lit(True))
+        joined = grid.join(obs, ["conv_id", "bucket_start"], "left")
+        idx = (F.unix_seconds("bucket_start") / n).cast("long")
+        joined = joined.withColumn("_idx", idx)
+        w_prev = (
+            Window.partitionBy("conv_id").orderBy("_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_next = (
+            Window.partitionBy("conv_id").orderBy(F.col("_idx").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        is_obs = F.col("_obs").isNotNull()
+        prev_obs_idx = F.last(
+            F.when(is_obs, F.col("_idx")), ignorenulls=True
+        ).over(w_prev)
+        next_obs_idx = F.last(
+            F.when(is_obs, F.col("_idx")), ignorenulls=True
+        ).over(w_next)
+        out = joined
+        for c in COUNT_COLS:
+            if c in tier_df.columns:
+                out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        for c in ("latency_p50",):
+            prev_v = F.last(
+                F.when(is_obs, F.col(c)), ignorenulls=True
+            ).over(w_prev)
+            if method == "locf":
+                filled = prev_v
+            else:
+                next_v = F.last(
+                    F.when(is_obs, F.col(c)), ignorenulls=True
+                ).over(w_next)
+                frac = (
+                    (F.col("_idx") - prev_obs_idx).cast("double")
+                    / (next_obs_idx - prev_obs_idx).cast("double")
+                )
+                filled = F.when(
+                    next_obs_idx.isNotNull() & prev_obs_idx.isNotNull(),
+                    prev_v + (next_v - prev_v) * frac,
+                ).otherwise(prev_v)
+            out = out.withColumn(
+                c, F.when(is_obs, F.col(c)).otherwise(filled)
+            )
+        return (
+            out.withColumn("gap_filled", ~is_obs)
+            .withColumn(
+                "fill_method",
+                F.when(is_obs, F.lit("obs"))
+                .when(prev_obs_idx.isNotNull(), F.lit(method))
+                .otherwise(F.lit(None).cast("string")),
+            )
+            .select(
+                "conv_id", "bucket_start", "latency_p50", "gap_filled",
+                "fill_method",
+            )
+        )
+
+    for method in ("locf", "linear"):
+        new = (
+            gap_fill(tier, "1h", value_cols=("latency_p50",), method=method)
+            .select(
+                "conv_id", "bucket_start", "latency_p50", "gap_filled",
+                "fill_method",
+            )
+        )
+        a = sorted(map(tuple, new.collect()))
+        b = sorted(map(tuple, legacy(tier, method).collect()))
+        assert a == b
