@@ -75,6 +75,28 @@ def streaming_rollup_1m(stream: DataFrame, watermark: str = WATERMARK) -> DataFr
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: tuple = ("conv_id", "turn_idx"),
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key, drop
+    re-deliveries that land within the watermark horizon.
+
+    The streaming twin of the batch ``exact_dedup`` (at-least-once
+    upstream delivery is the norm for the manifest-gated ingestion
+    path — ``plans/ingest.py`` dedups batches at file granularity, this
+    dedups rows inside a live stream). ``dropDuplicatesWithinWatermark``
+    keys state by ``keys`` and expires it once the event-time watermark
+    passes, so state is bounded by (arrival rate × watermark horizon),
+    never by stream history — the scale-correct alternative to an
+    unbounded ``dropDuplicates`` on a stream.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_sessions(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -503,3 +503,47 @@ def test_streaming_sessions_merge_and_finalize(spark, tmp_path):
     assert [(r.session_start, r.session_end, r.n_turns) for r in got] == [
         (r.session_start, r.session_end, r.n_turns) for r in batch
     ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered (conv_id, turn_idx) rows inside the watermark horizon
+    are dropped; state expires with the watermark (bounded, not
+    history-sized)."""
+    from ecov003_l2t_stars_spark.streaming.rollup_stream import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    _write_batch(spark, src, [
+        ("D", 0, "user", "t", None, T0),
+        ("D", 0, "user", "t", None, T0),  # same-batch duplicate
+        ("D", 1, "assistant", "t", None, T0 + dt.timedelta(seconds=10)),
+    ], 1)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+
+    def run_once():
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 2  # duplicate dropped
+    # redelivery in a later micro-batch, still within the watermark
+    _write_batch(spark, src, [
+        ("D", 0, "user", "t", None, T0),
+        ("D", 2, "user", "t", None, T0 + dt.timedelta(seconds=20)),
+    ], 2)
+    run_once()
+    got = spark.read.parquet(sink).select("conv_id", "turn_idx")
+    rows = sorted((r.conv_id, r.turn_idx) for r in got.collect())
+    assert rows == [("D", 0), ("D", 1), ("D", 2)]
