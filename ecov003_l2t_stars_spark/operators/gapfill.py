@@ -100,19 +100,19 @@ def gap_fill(
     idx = (F.unix_seconds("bucket_start") / n).cast("long")
 
     if grid_start is None and grid_end is None:
-        # Default (per-conv span) path WITHOUT the dense-grid join: gap
-        # rows are generated directly from each consecutive-observation
-        # pair (lead + sequence-explode) and unioned under the
-        # observations — same row set as grid ⟕ obs (per-conv grids span
-        # min..max observed bucket, so endpoints are always observed and
-        # only interior buckets are missing), but the 10×-wider grid
-        # never exists as join input and the sort-merge join disappears.
-        # The span guard rides the same conv_id partitioning as the lead
-        # window (whole-partition min/max frame — not the banned ordered
-        # unbounded-following class).
-        obs = tier_df.withColumn("_idx", idx).withColumn(
-            "_obs", F.lit(True)
-        )
+        # Default (per-conv span) path with NO dense-grid join and NO
+        # windows over the densified table: gap rows are generated from
+        # each consecutive-observation pair (lead + sequence-explode),
+        # and because the generating pair already brackets every gap
+        # bucket, the fill values attach AT EXPLODE TIME — the
+        # carried-value windows run over the OBSERVATION table only
+        # (~10× fewer rows than the densified output, which is merely
+        # unioned together at the end). Same row set and identical
+        # fill arithmetic as the grid ⟕ obs + windows formulation
+        # (equivalence pinned in tests/test_gapfill.py). The span guard
+        # rides the same conv_id partitioning (whole-partition min/max
+        # frame — not the banned ordered unbounded-following class).
+        obs = tier_df.withColumn("_idx", idx)
         if max_buckets_per_conv is not None:
             w_all = Window.partitionBy("conv_id")
             obs = (
@@ -124,39 +124,116 @@ def gap_fill(
                 .drop("_span")
             )
         w_lead = Window.partitionBy("conv_id").orderBy("_idx")
-        gaps = (
-            obs.select(
-                "conv_id",
-                "_idx",
-                F.lead("_idx").over(w_lead).alias("_nxt"),
+        w_fwd = (
+            Window.partitionBy("conv_id")
+            .orderBy("_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_bwd = (
+            Window.partitionBy("conv_id")
+            .orderBy(F.col("_idx").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # carried values as of each OBSERVATION: last non-null looking
+        # back (for prev_v) and forward (for next_v) — running frames
+        # both ways, per the O(n²)-frame ban
+        carried = obs
+        for c in value_cols:
+            carried = carried.withColumn(
+                f"_cf_{c}", F.last(c, ignorenulls=True).over(w_fwd)
+            ).withColumn(
+                f"_cb_{c}", F.last(c, ignorenulls=True).over(w_bwd)
             )
-            .where(F.col("_nxt") > F.col("_idx") + 1)
-            .select(
-                "conv_id",
-                F.explode(
-                    F.sequence(F.col("_idx") + 1, F.col("_nxt") - 1)
-                ).alias("_idx"),
+        pairs = carried.select(
+            "conv_id",
+            F.col("_idx").alias("_prev"),
+            F.lead("_idx").over(w_lead).alias("_nxt"),
+            *[F.col(f"_cf_{c}").alias(f"_pv_{c}") for c in value_cols],
+            *[
+                F.lead(f"_cb_{c}").over(w_lead).alias(f"_nv_{c}")
+                for c in value_cols
+            ],
+        ).where(F.col("_nxt") > F.col("_prev") + 1)
+        gaps = pairs.select(
+            "conv_id",
+            "_prev",
+            "_nxt",
+            *[f"_pv_{c}" for c in value_cols],
+            *[f"_nv_{c}" for c in value_cols],
+            F.explode(
+                F.sequence(F.col("_prev") + 1, F.col("_nxt") - 1)
+            ).alias("_idx"),
+        )
+
+        def _filled(c: str):
+            prev_v = F.col(f"_pv_{c}")
+            if method == "locf":
+                return prev_v
+            # identical expression tree to the window formulation:
+            # int subtraction → cast double → divide; generated gaps
+            # always have both bracketing obs, so the index-based
+            # leading/trailing conditions are vacuously true
+            frac = (
+                (F.col("_idx") - F.col("_prev")).cast("double")
+                / (F.col("_nxt") - F.col("_prev")).cast("double")
             )
+            return prev_v + (F.col(f"_nv_{c}") - prev_v) * frac
+
+        def _out_col(c: str, gap: bool):
+            dt_ = tier_df.schema[c].dataType
+            if c in ("conv_id",):
+                return F.col("conv_id")
+            if c == "bucket_start":
+                return (
+                    F.timestamp_seconds(F.col("_idx") * n).alias(c)
+                    if gap
+                    else F.col(c)
+                )
+            if c in COUNT_COLS:
+                return (
+                    F.lit(0).cast(dt_).alias(c)
+                    if gap
+                    else F.coalesce(F.col(c), F.lit(0)).alias(c)
+                )
+            if c in value_cols:
+                # common-type widening matches the when/otherwise form
+                # of the window path (numeric value col → double)
+                return (
+                    _filled(c).cast("double").alias(c)
+                    if gap
+                    else F.col(c).cast("double").alias(c)
+                )
+            return (
+                F.lit(None).cast(dt_).alias(c) if gap else F.col(c)
+            )
+
+        obs_rows = obs.select(
+            *[_out_col(c, gap=False) for c in tier_df.columns],
+            F.lit(False).alias("gap_filled"),
+            F.lit("obs").alias("fill_method"),
         )
         gap_rows = gaps.select(
-            "conv_id",
-            F.timestamp_seconds(F.col("_idx") * n).alias("bucket_start"),
-            *[
-                F.lit(None).cast(tier_df.schema[c].dataType).alias(c)
-                for c in tier_df.columns
-                if c not in ("conv_id", "bucket_start")
-            ],
-            "_idx",
-            F.lit(None).cast("boolean").alias("_obs"),
+            *[_out_col(c, gap=True) for c in tier_df.columns],
+            F.lit(True).alias("gap_filled"),
+            F.lit(method).alias("fill_method"),
         )
-        joined = obs.unionByName(gap_rows)
-    else:
-        grid = dense_grid(
-            tier_df, tier, max_buckets_per_conv, grid_start, grid_end
+        return (
+            obs_rows.unionByName(gap_rows)
+            .withColumn(
+                "bucket_end",
+                F.timestamp_seconds(
+                    F.unix_seconds("bucket_start") + F.lit(n)
+                ),
+            )
+            .withColumn("tier", F.lit(tier))
         )
-        obs = tier_df.withColumn("_obs", F.lit(True))
-        joined = grid.join(obs, ["conv_id", "bucket_start"], "left")
-        joined = joined.withColumn("_idx", idx)
+
+    grid = dense_grid(
+        tier_df, tier, max_buckets_per_conv, grid_start, grid_end
+    )
+    obs = tier_df.withColumn("_obs", F.lit(True))
+    joined = grid.join(obs, ["conv_id", "bucket_start"], "left")
+    joined = joined.withColumn("_idx", idx)
 
     # Both directions use RUNNING frames (unboundedPreceding..current):
     # Spark evaluates these in O(n) per partition, whereas a
