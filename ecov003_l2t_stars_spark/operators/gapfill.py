@@ -300,9 +300,27 @@ def missing_buckets(tier_df: DataFrame, tier: str) -> DataFrame:
     reference's missing-date accumulation + ``AuxiliaryLatency`` raise
     (``generate_STARS_inputs.py:220-231``, ``L2T_STARS.py:357-379``).
     """
-    grid = dense_grid(tier_df, tier)
-    return grid.join(
-        tier_df.select("conv_id", "bucket_start"),
-        ["conv_id", "bucket_start"],
-        "left_anti",
+    # the missing set is exactly the interior of each
+    # consecutive-observation pair — generated by lead + explode with no
+    # dense grid and no anti-join (per-conv spans make endpoints
+    # observed, so grid ∖ obs ≡ these interiors)
+    n = TIER_SECONDS[tier]
+    idx = (F.unix_seconds("bucket_start") / n).cast("long")
+    w_lead = Window.partitionBy("conv_id").orderBy("_idx")
+    return (
+        tier_df.select("conv_id", idx.alias("_idx"))
+        .select(
+            "conv_id", "_idx", F.lead("_idx").over(w_lead).alias("_nxt")
+        )
+        .where(F.col("_nxt") > F.col("_idx") + 1)
+        .select(
+            "conv_id",
+            F.explode(
+                F.sequence(F.col("_idx") + 1, F.col("_nxt") - 1)
+            ).alias("_m"),
+        )
+        .select(
+            "conv_id",
+            F.timestamp_seconds(F.col("_m") * n).alias("bucket_start"),
+        )
     )
