@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ecov003_l2t_stars_spark.functions.text import _spread
+
+    # one-file corpus → one scan partition → every JVM expression and
+    # kernel downstream runs single-core without this (operators that
+    # spread internally see enough partitions and no-op)
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
