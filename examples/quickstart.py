@@ -96,6 +96,30 @@ def main() -> None:
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     ivf_topk(emb, k=3, n_centroids=6, n_probe=3).show(5)
 
+    # 9. dedup family on the documents corpus: MinHash+LSH near-dups and
+    #    embedding-cosine near-dup pairs (bucketed scale paths)
+    from ecov003_l2t_stars_spark.operators.dedup import minhash_lsh_dedup
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    minhash_lsh_dedup(docs).show(3)
+    embedding_near_dup_lsh(emb, threshold=0.42, k=20, n_tables=16,
+                           n_bits=6).show(3)
+
+    # 10. REAL multimodal decode through the pluggable seam: PPM images
+    #     and PCM-16 WAV parse with stdlib + NumPy alone
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        extract_features,
+        media_decoder,
+        synthetic_real_media,
+    )
+
+    extract_features(
+        synthetic_real_media(spark, n=6), dim=4, decoder=media_decoder
+    ).show(6, truncate=60)
+
     spark.stop()
     print("done; outputs in", work)
 
