@@ -472,3 +472,84 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    The step after pair generation in a dedup pipeline: group mutually
+    similar docs so one canonical representative (the min id) survives.
+    Iterative min-label propagation over the undirected pair graph:
+    each round every node adopts the minimum label in its closed
+    neighborhood (one groupBy-min over the edge list + its reverse),
+    converging in O(diameter) rounds — near-dup clusters are small and
+    dense, so a handful of rounds suffices (``max_iters`` guards
+    pathological chains; alternate large-star/small-star is the
+    published trick if diameters ever get long).
+
+    Scale shape: per round, one join of the label table against the
+    edge list and one groupBy-min — all shuffles keyed on node id, no
+    driver-side graph state; the only driver value is the convergence
+    count. Each round's labels are EAGERLY localCheckpoint-ed: the label
+    plan references itself twice per round, so without lineage
+    truncation the logical plan doubles every iteration (exponential —
+    a 30-round chain OOMs the ANALYZER long before any data does; on a
+    production cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for executor-loss tolerance).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("_nl"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # eager: truncates the per-round lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

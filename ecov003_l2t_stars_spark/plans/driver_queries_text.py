@@ -311,6 +311,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash+LSH
+    near-dup pair graph → (doc_id, cluster_id = min doc id in the
+    component). The canonical-representative step of a dedup pipeline,
+    run as iterative min-label propagation (distributed joins, no
+    driver-side graph); the oracle computes the same components with a
+    recursive CTE over the exact-Jaccard pair graph."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(_docs(spark, sf_dir))
+    return dup_clusters(pairs)
+
+
+# same pair graph as _JACCARD_ORACLE (LSH recall == exact at this
+# banding, hash-verified by minhash_lsh_pairs), then min-label closure
+# via a recursive CTE — transitive closure is fine at oracle scale
+# because near-dup components are tiny
+_DUP_CLUSTERS_ORACLE = """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+            list_distinct(list_transform(
+                range(1, greatest(len(text) - 4, 1) + 1),
+                i -> substr(text, CAST(i AS INT), 5))) AS s
+        FROM documents
+    ), sz AS (
+        SELECT doc_id, len(s) AS n FROM sh
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT da AS a, db AS b
+        FROM inter
+        JOIN sz na ON na.doc_id = da
+        JOIN sz nb ON nb.doc_id = db
+        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+    ), e AS (
+        SELECT a AS src, b AS dst FROM p
+        UNION
+        SELECT b AS src, a AS dst FROM p
+    ), r AS (
+        SELECT src AS node, src AS label FROM e
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM r JOIN e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM r GROUP BY node
+"""
+
+
 def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, oracle-checked): every
     (vec_a < vec_b) with cosine >= 0.42 — the threshold sits just under
@@ -367,6 +422,7 @@ def _embed_pairs_oracle() -> str:
 QUERIES_TEXT = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dup_clusters": q_dup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -380,6 +436,7 @@ QUERIES_TEXT = {
 ORACLE_SQL_TEXT = {
     "ngram_jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _JACCARD_ORACLE,
+    "dup_clusters": _DUP_CLUSTERS_ORACLE,
     "cosine_topk": _COSINE_ORACLE,
     "embed_near_pairs": _embed_pairs_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,

@@ -376,3 +376,35 @@ def test_ivf_topk_recall(spark, emb):
     for vid, _ in a:
         per_query[vid] = per_query.get(vid, 0) + 1
     assert max(per_query.values()) <= 3
+
+
+def test_dup_clusters_components(spark):
+    """Chain, triangle, and isolated pair each collapse to the min id;
+    label propagation converges across multi-hop chains."""
+    from ecov003_l2t_stars_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12),  # triangle
+            (20, 21),                      # pair
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dup_clusters_long_chain(spark):
+    """A 30-node path needs many propagation rounds — exercises the
+    iteration loop, convergence detection, and the unpersist cycle."""
+    from ecov003_l2t_stars_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 31
