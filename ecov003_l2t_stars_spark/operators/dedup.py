@@ -502,6 +502,8 @@ def dup_clusters(
     production cluster prefer ``spark.sparkContext.setCheckpointDir`` +
     ``checkpoint()`` for executor-loss tolerance).
     """
+    # no distinct: duplicate edges only contribute identical candidates
+    # to the min — harmless, and the dedup shuffle isn't
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -509,7 +511,6 @@ def dup_clusters(
                 F.col(b_col).alias("src"), F.col(a_col).alias("dst")
             )
         )
-        .distinct()
         .persist()
     )
     labels = (
@@ -530,23 +531,23 @@ def dup_clusters(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("_nl").alias("_nmin"))
         )
+        upd = F.least(
+            F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+        )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                ).alias("label"),
+                upd.alias("_new"),
+                (upd < F.col("label")).alias("_chg"),
             )
+            .withColumnRenamed("_new", "label")
             .localCheckpoint()  # eager: truncates the per-round lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # convergence read straight off the checkpointed data — no
+        # old-vs-new join
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()
