@@ -95,9 +95,11 @@ def main() -> None:
             # turning later reps into cache reads — and the accumulated
             # caches squeeze the heap under the pipeline runs below
             spark.catalog.clearCache()
-            df = fn(spark, SF_DIR)
+            # fn() inside the timer: plan construction is ms for lazy
+            # queries, but iterative operators (dup_clusters) do their
+            # eager per-round work at build time and must be charged
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(_median(runs), 4)
         timings_min[name] = round(min(runs), 4)

@@ -193,10 +193,16 @@ def trigrams(text: Column) -> Column:
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition an under-parallelized projection before a per-row
     Arrow kernel — a one-file corpus otherwise runs the whole kernel on
-    one core. No-op when the input already has >= shuffle_partitions
-    partitions (the 100-TB scan path is left shuffle-free)."""
+    one core. No-op when the input is backed by >= shuffle_partitions
+    FILES (the 100-TB scan path is left shuffle-free). Metadata-only
+    probe via ``inputFiles()``: a ``.rdd.getNumPartitions()`` probe
+    forces AQE to execute upstream stages at plan-build time."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < n_part:
         return df.repartition(n_part)
     return df
 

@@ -52,16 +52,24 @@ def shingle_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    spread: bool = True,
 ) -> DataFrame:
     """(_id, _sh array<string>) — distinct k-shingles per doc as ONE
     Arrow kernel (linear slicing over code points; ``dict.fromkeys``
     preserves first-occurrence order exactly like ``array_distinct``).
     Python slicing == Spark ``substr`` == DuckDB ``substr`` on code
     points, so shingle SETS (all any consumer uses: minhash mins,
-    Jaccard set sizes) are identical to :func:`char_shingles`."""
-    sel = _spread(
-        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    Jaccard set sizes) are identical to :func:`char_shingles`.
+
+    ``spread=False`` for COMPUTED inputs (joins/aggregates upstream):
+    the partition probe in :func:`_spread` forces AQE to execute the
+    upstream stages at plan-build time — only raw scans should probe.
+    """
+    sel = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     )
+    if spread:
+        sel = _spread(sel)
     id_type = sel.schema["_id"].dataType.simpleString()
 
     def gen(batches):
@@ -88,13 +96,24 @@ def _spread(df: DataFrame) -> DataFrame:
 
     A small corpus often arrives as one parquet file → one scan
     partition → the whole kernel runs on one core. Only triggers when
-    the input has fewer partitions than ``spark.sql.shuffle.partitions``
-    (a wide, well-partitioned 100-TB scan is left alone — no extra
-    shuffle on the scale path); the shuffled payload is the pruned
-    (id, text) projection, negligible next to the kernel work.
+    the input is backed by fewer FILES than
+    ``spark.sql.shuffle.partitions`` (a wide, well-partitioned 100-TB
+    scan is left alone — no extra shuffle on the scale path); the
+    shuffled payload is the pruned (id, text) projection, negligible
+    next to the kernel work.
+
+    The probe is ``inputFiles()`` — metadata only. Probing via
+    ``df.rdd.getNumPartitions()`` looks equivalent but forces AQE to
+    EXECUTE upstream query stages at plan-build time (measured 4.3s of
+    hidden build work on the minhash verify path). Back-to-back
+    repartitions from nested spreads collapse (CollapseRepartition).
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n_part:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < n_part:
         return df.repartition(n_part)
     return df
 
@@ -336,6 +355,8 @@ def minhash_lsh_dedup(
         id_col,
         text_col,
         k,
+        spread=False,  # joined input: the partition probe would force
+        # AQE to run the whole screen pipeline at plan-BUILD time
     ).persist()
     joined = (
         screened.join(
