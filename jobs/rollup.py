@@ -45,6 +45,18 @@ def main() -> None:
                    help="ISO timestamp for the give-up clock (default now)")
     args = p.parse_args()
 
+    # validate BEFORE booting a JVM: an empty required set would degrade
+    # the gate to "any one source arrived" (n_req counts the empty
+    # string) — refuse
+    required = None
+    if args.gate_manifest:
+        required = [
+            s for s in (args.required_sources or "").split(",") if s
+        ]
+        if not required:
+            p.error("--gate-manifest requires --required-sources "
+                    "(comma list of sources that must have arrived)")
+
     from ecov003_l2t_stars_spark.plans.pipeline import RollupConfig, RollupJob
     from ecov003_l2t_stars_spark.session import get_spark
 
@@ -72,14 +84,6 @@ def main() -> None:
             if args.gate_as_of
             else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         )
-        # an empty required set would degrade the gate to "any one
-        # source arrived" (n_req counts the empty string) — refuse
-        required = [
-            s for s in (args.required_sources or "").split(",") if s
-        ]
-        if not required:
-            p.error("--gate-manifest requires --required-sources "
-                    "(comma list of sources that must have arrived)")
         buckets = sorted(
             r.conv_bucket
             for r in backlog(spark, args.gate_manifest, args.output,
