@@ -575,3 +575,26 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Near-duplicate REMOVAL: keep each duplicate cluster's canonical
+    doc (the min id, via :func:`dup_clusters`) plus every unclustered
+    doc — the final step of the dedup pipeline (pairs → components →
+    surviving corpus).
+
+    Scale shape: the drop set is (cluster members − representatives),
+    far smaller than the corpus; the anti-join broadcasts it when small
+    and degrades gracefully to a shuffle join when not.
+    """
+    clusters = dup_clusters(pairs, a_col, b_col)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -366,6 +366,62 @@ _DUP_CLUSTERS_ORACLE = """
 """
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end to end: near-dup pairs (MinHash+LSH) →
+    connected components → surviving corpus (each cluster keeps only its
+    canonical min-id doc). Output is the kept (doc_id, n_chars)."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dedup_corpus(docs, minhash_lsh_dedup(docs)).select(
+        "doc_id", "n_chars"
+    )
+
+
+# recursive min-label closure over the exact-Jaccard pair graph (same
+# CTE as _DUP_CLUSTERS_ORACLE); survivors = docs that are not a
+# non-representative member of any component
+_DEDUP_CORPUS_ORACLE = """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+            list_distinct(list_transform(
+                range(1, greatest(len(text) - 4, 1) + 1),
+                i -> substr(text, CAST(i AS INT), 5))) AS s
+        FROM documents
+    ), sz AS (
+        SELECT doc_id, len(s) AS n FROM sh
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT da AS a, db AS b
+        FROM inter
+        JOIN sz na ON na.doc_id = da
+        JOIN sz nb ON nb.doc_id = db
+        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+    ), e AS (
+        SELECT a AS src, b AS dst FROM p
+        UNION
+        SELECT b AS src, a AS dst FROM p
+    ), r AS (
+        SELECT src AS node, src AS label FROM e
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM r JOIN e ON e.src = r.node
+    ), drop_set AS (
+        SELECT node FROM r GROUP BY node HAVING min(label) <> node
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM drop_set)
+"""
+
+
 def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, oracle-checked): every
     (vec_a < vec_b) with cosine >= 0.42 — the threshold sits just under
@@ -423,6 +479,7 @@ QUERIES_TEXT = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
+    "dedup_corpus": q_dedup_corpus,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -437,6 +494,7 @@ ORACLE_SQL_TEXT = {
     "ngram_jaccard_pairs": _JACCARD_ORACLE,
     "minhash_lsh_pairs": _JACCARD_ORACLE,
     "dup_clusters": _DUP_CLUSTERS_ORACLE,
+    "dedup_corpus": _DEDUP_CORPUS_ORACLE,
     "cosine_topk": _COSINE_ORACLE,
     "embed_near_pairs": _embed_pairs_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,

@@ -408,3 +408,18 @@ def test_dup_clusters_long_chain(spark):
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert set(got.values()) == {100}
     assert len(got) == 31
+
+
+def test_dedup_corpus_keeps_canonicals(spark):
+    from ecov003_l2t_stars_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = {r.doc_id for r in dedup_corpus(docs, pairs).collect()}
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; others untouched
+    assert kept == {0, 1, 4, 5, 7}
