@@ -78,7 +78,14 @@ def main() -> None:
 
     # quadratic-by-design verification paths (their LSH scale twins are
     # benchmarked instead); still correctness-checked at sf0.01
-    bench_skip = {"ngram_jaccard_pairs", "cosine_topk", "embed_near_pairs"}
+    # dedup_corpus re-runs dup_clusters' entire pair+component pipeline
+    # plus one anti-join — benching both would double-count the same work
+    bench_skip = {
+        "ngram_jaccard_pairs",
+        "cosine_topk",
+        "embed_near_pairs",
+        "dedup_corpus",
+    }
 
     # --- driver oracle queries over the sf tables -------------------------
     from ecov003_l2t_stars_spark.plans.driver_queries_text import QUERIES_TEXT
