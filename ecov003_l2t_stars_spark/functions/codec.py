@@ -281,55 +281,64 @@ def _encode_fields_vectorized(ts: np.ndarray, vals: np.ndarray) -> bytes:
 
 
 def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of :func:`encode_segment` → (ts_us int64, values float64)."""
+    """Inverse of :func:`encode_segment` → (ts_us int64, values float64).
+
+    The bit cursor is inlined into the loops (local ``pos`` + direct
+    ``int.from_bytes`` over the covering span; Python lists instead of
+    per-element ndarray stores) — the decode stream is inherently
+    sequential (variable-width fields), so this is a constant-factor
+    tightening, not a vectorization."""
     magic, n = struct.unpack(">IQ", payload[:12])
     if magic != MAGIC:
         raise ValueError("bad magic")
-    ts = np.empty(n, dtype=np.int64)
-    vals = np.empty(n, dtype=np.float64)
     if n == 0:
-        return ts, vals
-    r = _BitReader(payload[12:])
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    data = payload[12:]
+    fb = int.from_bytes
+    pos = 0
 
-    t0 = r.read(64)
+    def _rd(nbits: int) -> int:
+        nonlocal pos
+        end = pos + nbits
+        hi = (end + 7) >> 3
+        out = (fb(data[pos >> 3:hi], "big") >> ((hi << 3) - end)) & (
+            (1 << nbits) - 1
+        )
+        pos = end
+        return out
+
+    t0 = _rd(64)
     if t0 >= 1 << 63:
         t0 -= 1 << 64
-    ts[0] = t0
+    out_ts = [t0] * n
     if n > 1:
-        zd = r.read(66)
-        delta = _unzigzag(zd)
-        ts[1] = int(np.int64(ts[0] + delta))  # wraps like int64 arithmetic
+        delta = _unzigzag(_rd(66))
+        cur = int(np.int64(t0 + delta))  # wraps like int64 arithmetic
+        out_ts[1] = cur
         prev_delta = delta
         for i in range(2, n):
-            if r.read(1) == 0:
-                dod = 0
-            else:
+            # control: 0 | 10 | 110 | 1110 | 11110 | 11111
+            if _rd(1):
                 cls = 0
-                while cls < 4 and r.read(1) == 1:
+                while cls < 4 and _rd(1):
                     cls += 1
-                if cls < 4:
-                    bits = _DOD_CLASSES[cls][2]
-                    dod = _unzigzag(r.read(bits))
-                else:
-                    dod = _unzigzag(r.read(66))
-            prev_delta = prev_delta + dod  # python int; may exceed int64
-            ts[i] = int(ts[i - 1]) + prev_delta
+                bits = 66 if cls == 4 else _DOD_CLASSES[cls][2]
+                prev_delta = prev_delta + _unzigzag(_rd(bits))
+            cur = cur + prev_delta
+            out_ts[i] = cur
+    ts = np.array(out_ts, dtype=np.int64)
 
-    prev = r.read(64)
-    out_bits = np.empty(n, dtype=np.uint64)
-    out_bits[0] = prev
+    prev = _rd(64)
+    out_bits = [prev] * n
     lead, sig = 0, 0
     for i in range(1, n):
-        if r.read(1) == 0:
+        if _rd(1) == 0:
             out_bits[i] = prev
             continue
-        if r.read(1) == 0:  # control 10: reuse window
-            x = r.read(sig) << (64 - lead - sig)
-        else:  # control 11: new window
-            lead = r.read(6)
-            sig = r.read(6) + 1
-            x = r.read(sig) << (64 - lead - sig)
-        prev ^= x
+        if _rd(1):  # control 11: new window
+            lead = _rd(6)
+            sig = _rd(6) + 1
+        prev ^= _rd(sig) << (64 - lead - sig)
         out_bits[i] = prev
-    vals[:] = out_bits.view(np.float64)
+    vals = np.array(out_bits, dtype=np.uint64).view(np.float64)
     return ts, vals
