@@ -74,24 +74,6 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    __slots__ = ("data", "pos")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-
-    def read(self, nbits: int) -> int:
-        # one C-level int.from_bytes over the covering byte span instead
-        # of a per-byte Python loop (~2× on the decode hot loop)
-        pos = self.pos
-        end = pos + nbits
-        hi = (end + 7) >> 3
-        chunk = int.from_bytes(self.data[pos >> 3:hi], "big")
-        self.pos = end
-        return (chunk >> ((hi << 3) - end)) & ((1 << nbits) - 1)
-
-
 def _zigzag(v: int) -> int:
     # magnitude-independent (deltas/dods of int64 values exceed int64)
     return (v << 1) if v >= 0 else (((-v) << 1) - 1)
@@ -139,7 +121,10 @@ def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     header = struct.pack(">IQ", MAGIC, n)
     if n == 0:
         return header
-    if n > 2 and bool(np.all(np.abs(ts) < (1 << 60))):
+    # wrap-free range test: np.abs(int64-min) wraps back to int64-min,
+    # which would pass an abs()-based guard and run the vectorized
+    # delta/zigzag arithmetic outside its safety envelope
+    if n > 2 and bool(np.all((ts > -(1 << 60)) & (ts < (1 << 60)))):
         return header + _encode_fields_vectorized(ts, vals)
     return header + _encode_fields_scalar(ts, vals)
 
@@ -288,12 +273,25 @@ def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     per-element ndarray stores) — the decode stream is inherently
     sequential (variable-width fields), so this is a constant-factor
     tightening, not a vectorization."""
+    if len(payload) < 12:
+        raise ValueError("truncated payload: missing header")
     magic, n = struct.unpack(">IQ", payload[:12])
     if magic != MAGIC:
         raise ValueError("bad magic")
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     data = payload[12:]
+    nbits_avail = len(data) * 8
+    # cheapest possible stream for n points: 64-bit t0 (+66-bit first
+    # delta, 1 control bit per further point) + 64-bit v0 + 1 control
+    # bit per further value. Rejecting up front keeps a corrupt header
+    # from allocating O(n) output for a tiny buffer.
+    min_bits = 64 + 64 + (66 + (n - 2) if n > 1 else 0) + (n - 1)
+    if nbits_avail < min_bits:
+        raise ValueError(
+            f"truncated payload: {nbits_avail} bits < minimum "
+            f"{min_bits} for {n} points"
+        )
     fb = int.from_bytes
     pos = 0
 
@@ -341,4 +339,13 @@ def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         prev ^= _rd(sig) << (64 - lead - sig)
         out_bits[i] = prev
     vals = np.array(out_bits, dtype=np.uint64).view(np.float64)
+    # bytes-slice reads silently yield zero bits past the end of the
+    # buffer — the cursor still advances, so one final bound check
+    # catches any truncation mid-stream (the old per-byte loop raised
+    # IndexError; this keeps that guarantee without per-read checks)
+    if pos > nbits_avail:
+        raise ValueError(
+            f"truncated payload: stream needs {pos} bits, "
+            f"have {nbits_avail}"
+        )
     return ts, vals

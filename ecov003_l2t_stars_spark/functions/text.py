@@ -346,7 +346,13 @@ def lang_id_self(docs: DataFrame, top_n: int = 200) -> DataFrame:
     from pyspark.sql import Window
 
     norm = docs.withColumn("_t", norm_text(F.col("text")))
-    base = trigram_counts(norm, "_t", ("doc_id", "lang")).persist()
+    # localCheckpoint, not persist: both the profile rollup and the
+    # classification join consume it; checkpoint blocks are released by
+    # the ContextCleaner when the plan is dropped (persist would pin
+    # them in the CacheManager across calls — session-lifetime leak)
+    base = trigram_counts(norm, "_t", ("doc_id", "lang")).localCheckpoint(
+        eager=True
+    )
     counts = base.groupBy("lang", "tg").agg(F.sum("c").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))
     profiles = (

@@ -267,7 +267,23 @@ def minhash_lsh_dedup(
     P(miss) ~ 1e-6 (Binomial(64, 0.8) below 36), while j<=0.3 noise
     passes with P ~ 3e-5. Exact verification then runs on the survivors
     only (measured 74.5s -> ~15s at 5000 docs)."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k).persist()
+    # null-text docs get a null signature — they can never qualify as
+    # near-dups, and banding them would pair every null doc with every
+    # other (xxhash64 over nulls is a constant) and feed None rows into
+    # the np.stack screen. Drop them before banding.
+    # materialized once (both sides of the band self-join consume it;
+    # the differently-aliased projections defeat ReusedExchange — rule
+    # 10). localCheckpoint instead of persist: cached blocks of a
+    # persist() are pinned in the CacheManager until an explicit
+    # unpersist/clearCache — impossible from inside a lazy builder —
+    # and were accumulating across calls in long-lived sessions;
+    # checkpoint blocks are reference-tracked and freed by the
+    # ContextCleaner when the returned plan is dropped.
+    sigs = (
+        minhash_signatures(docs, id_col, text_col, n_hashes, k)
+        .where(F.col("_sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
 
     est_min = int((threshold - 0.25) * n_hashes)
     id_type = sigs.schema["_id"].dataType.simpleString()
@@ -328,14 +344,14 @@ def minhash_lsh_dedup(
                 {"doc_a": pdf["doc_a"][keep], "doc_b": pdf["doc_b"][keep]}
             )
 
-    # persisted: both exact-verify joins consume it, and the survivors
-    # drive the semi-join below. distinct() here dedups the multi-band
-    # duplicates on the post-screen survivor set (a few hundred rows)
-    # instead of the full candidate stream.
+    # materialized: both exact-verify joins consume it, and the
+    # survivors drive the semi-join below. distinct() here dedups the
+    # multi-band duplicates on the post-screen survivor set (a few
+    # hundred rows) instead of the full candidate stream.
     screened = (
         paired.mapInPandas(_screen, f"doc_a {id_type}, doc_b {id_type}")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # shingle ONLY docs that survive the screen: char_shingles is the
@@ -357,7 +373,7 @@ def minhash_lsh_dedup(
         k,
         spread=False,  # joined input: the partition probe would force
         # AQE to run the whole screen pipeline at plan-BUILD time
-    ).persist()
+    ).localCheckpoint(eager=True)
     joined = (
         screened.join(
             sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"),
@@ -454,9 +470,12 @@ def simhash_near_pairs(
     (any pair with distance <= 3 agrees on at least one of 4 blocks —
     exact recall at d<=3, so output equals the all-pairs computation;
     the top block carries the signature's upper 14 bits)."""
-    # persisted: the banded self-join consumes the signature kernel on
-    # both sides, and mapInPandas output is not exchange-reused
-    sigs = simhash(docs, id_col, text_col).persist()
+    # materialized: the banded self-join consumes the signature kernel
+    # on both sides, and mapInPandas output is not exchange-reused.
+    # localCheckpoint, not persist — cache blocks would be pinned until
+    # an explicit unpersist (leak in long-lived sessions); checkpoint
+    # blocks are freed by the ContextCleaner with the returned plan.
+    sigs = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
     blocks = sigs.select(
         "doc_id",
         "simhash",

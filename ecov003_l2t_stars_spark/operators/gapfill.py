@@ -294,11 +294,22 @@ def gap_fill(
     return out
 
 
-def missing_buckets(tier_df: DataFrame, tier: str) -> DataFrame:
+def missing_buckets(
+    tier_df: DataFrame,
+    tier: str,
+    max_buckets_per_conv: int | None = 2_000_000,
+) -> DataFrame:
     """Expected-vs-observed anti-join: buckets in the dense grid with no
     observed row — the watermark-violation check, mirroring the
     reference's missing-date accumulation + ``AuxiliaryLatency`` raise
     (``generate_STARS_inputs.py:220-231``, ``L2T_STARS.py:357-379``).
+
+    ``max_buckets_per_conv`` mirrors the dense-grid guard the join-free
+    rewrite replaced: one pathological timestamp (a huge span) would
+    otherwise make ``F.sequence`` generate the whole gap — past Spark's
+    max array length it errors the job, below it it blows task memory.
+    Guarded gaps are silently skipped, matching the old behavior of
+    excluding runaway convs from the grid.
     """
     # the missing set is exactly the interior of each
     # consecutive-observation pair — generated by lead + explode with no
@@ -307,12 +318,17 @@ def missing_buckets(tier_df: DataFrame, tier: str) -> DataFrame:
     n = TIER_SECONDS[tier]
     idx = (F.unix_seconds("bucket_start") / n).cast("long")
     w_lead = Window.partitionBy("conv_id").orderBy("_idx")
+    gap_ok = F.col("_nxt") > F.col("_idx") + 1
+    if max_buckets_per_conv is not None:
+        gap_ok = gap_ok & (
+            F.col("_nxt") - F.col("_idx") < F.lit(max_buckets_per_conv)
+        )
     return (
         tier_df.select("conv_id", idx.alias("_idx"))
         .select(
             "conv_id", "_idx", F.lead("_idx").over(w_lead).alias("_nxt")
         )
-        .where(F.col("_nxt") > F.col("_idx") + 1)
+        .where(gap_ok)
         .select(
             "conv_id",
             F.explode(

@@ -234,9 +234,11 @@ def _gapfill_query(method: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ecov003_l2t_stars_spark.operators.gapfill import gap_fill
 
-        # persisted: gap_fill reads its input twice (grid spans + obs)
-        # and the events aggregation would otherwise run twice (rule 10)
-        tier = _hourly_value_tier(spark, sf_dir).persist()
+        # materialized: gap_fill reads its input twice (grid spans +
+        # obs) and the events aggregation would otherwise run twice
+        # (rule 10). localCheckpoint so the blocks are ContextCleaner-
+        # reclaimed instead of pinned in the CacheManager across calls
+        tier = _hourly_value_tier(spark, sf_dir).localCheckpoint(eager=True)
         filled = gap_fill(tier, "1h", value_cols=("value_sum",), method=method)
         return filled.select(
             F.col("conv_id").alias("user_id"),

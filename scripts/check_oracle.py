@@ -64,7 +64,11 @@ def main() -> int:
         srows = sdf.collect()
         scols = sdf.columns
         if name not in oracles:
-            print(f"{name}: rows-only check, {len(srows)} rows")
+            # every driver query must carry an oracle (approximate ops
+            # use containment + recall-floor form) — a rows-only entry
+            # is a gate failure so local and driver signals stay equal
+            print(f"{name}: NO ORACLE ({len(srows)} rows) — FAIL")
+            failures += 1
             continue
         ddf = con.execute(oracles[name])
         dcols = [d[0] for d in ddf.description]

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -133,3 +134,33 @@ def test_escape_class_and_guard_fallback():
     # beyond the guard: encode_segment must still round-trip (scalar)
     ts2 = np.array([-(2**62), 2**62, -(2**61), 2**62 - 1], dtype=np.int64)
     _roundtrip(ts2, np.array([0.0, 1.0, 1.0, 2.0]))
+
+
+def test_int64_min_routes_to_scalar_path():
+    """np.abs(int64-min) wraps to int64-min — a wrap-free range guard
+    must still route such inputs to the Python-int scalar encoder, and
+    the round-trip must hold (the vectorized path would silently wrap
+    np.diff/zigzag here)."""
+    ts = np.array([-(2**63), -(2**63) + 7, -(2**63) + 9, 0], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 2.0, 3.5])
+    _roundtrip(ts, vals)
+
+
+def test_truncated_payload_raises():
+    """Slice-based bit reads return zero bits past the buffer end — the
+    decoder must detect truncation (ValueError), not emit garbage."""
+    ts = np.arange(0, 64_000_000, 1_000_000, dtype=np.int64)
+    vals = np.linspace(0.0, 6.3, ts.size)
+    payload = encode_segment(ts, vals)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_segment(payload[: len(payload) - 3])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_segment(payload[:8])
+    # corrupt header claiming a huge n must be rejected before any O(n)
+    # allocation happens
+    import struct as _struct
+
+    magic = _struct.unpack(">I", payload[:4])[0]
+    bogus = _struct.pack(">IQ", magic, 10**12) + payload[12:]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_segment(bogus)

@@ -423,3 +423,43 @@ def test_dedup_corpus_keeps_canonicals(spark):
     kept = {r.doc_id for r in dedup_corpus(docs, pairs).collect()}
     # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; others untouched
     assert kept == {0, 1, 4, 5, 7}
+
+
+def test_minhash_null_text_docs_are_dropped(spark):
+    """Docs with NULL text get NULL signatures — they must be dropped
+    before banding (a constant band hash would pair every null doc with
+    every other and crash the np.stack screen), not emitted as pairs."""
+    from ecov003_l2t_stars_spark.operators.dedup import minhash_lsh_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = minhash_lsh_dedup(df, n_hashes=64, bands=16, k=5, threshold=0.8)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_missing_buckets_span_guard(spark):
+    """One pathological timestamp (a multi-century gap) must not make
+    F.sequence explode the whole interior — the guarded gap is skipped,
+    normal gaps still report."""
+    from ecov003_l2t_stars_spark.operators.gapfill import missing_buckets
+
+    rows = [
+        ("a", 0), ("a", 3600), ("a", 5 * 3600),   # gap of 3 interior
+        ("b", 0), ("b", 10**10),                   # ~317-year gap
+    ]
+    df = spark.createDataFrame(
+        [(c, float(s)) for c, s in rows], "conv_id string, epoch double"
+    ).select(
+        "conv_id", F.timestamp_seconds("epoch").alias("bucket_start")
+    )
+    got = missing_buckets(df, "1h", max_buckets_per_conv=10_000)
+    out = {(r.conv_id, r.bucket_start.hour) for r in got.collect()}
+    assert {c for c, _ in out} == {"a"}
+    assert len(out) == 3
