@@ -246,6 +246,54 @@ def minhash_signatures(
     return sel.mapInPandas(_sigs, f"_id {id_type}, _sig array<long>")
 
 
+def _star_cap_sides(
+    banded: DataFrame,
+    keys: tuple[str, ...],
+    id_c: str,
+    bucket_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Bound per-bucket pair generation in a banded self-join.
+
+    A degenerate (band, bucket) of m near-identical docs — boilerplate
+    clusters are the canonical case — would emit m(m-1)/2 candidate
+    rows INSIDE one shuffle key: a skew bomb (a 100k-doc cluster is
+    ~5e9 pair rows on one task). Above ``bucket_cap`` the within-bucket
+    pairing degrades from clique to STAR on the bucket's min id: m-1
+    pairs, each member linked to the representative. Pair-level recall
+    inside a degenerate bucket drops (non-rep/non-rep pairs are only
+    found via other bands), but component CONNECTIVITY — what
+    ``dup_clusters``/``dedup_corpus`` consume — is preserved, because
+    every member keeps an edge to the rep. Run exact dedup first so
+    identical-doc floods never reach the banding.
+
+    Returns (a_side, b_side): join them on ``keys`` with
+    ``a.id < b.id``. Buckets at or under the cap appear whole on both
+    sides (normal clique pairing); oversized buckets contribute only
+    their rep to the a-side and only non-reps to the b-side (rep = min
+    id, so the a < b predicate keeps exactly the star).
+    """
+    if bucket_cap is None:
+        return banded, banded
+    over = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"), F.min(id_c).alias("_brep"))
+        .where(F.col("_bsz") > bucket_cap)
+        .drop("_bsz")
+        # tiny by pigeonhole (≤ rows/cap buckets can be oversized);
+        # eager so both sides read materialized blocks, and the join
+        # below broadcasts it
+        .localCheckpoint(eager=True)
+    )
+    tagged = banded.join(F.broadcast(over), list(keys), "left")
+    a_side = tagged.where(
+        F.col("_brep").isNull() | (F.col(id_c) == F.col("_brep"))
+    ).drop("_brep")
+    b_side = tagged.where(
+        F.col("_brep").isNull() | (F.col(id_c) != F.col("_brep"))
+    ).drop("_brep")
+    return a_side, b_side
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -254,6 +302,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.8,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Scale-path near-dup pairs: LSH candidates, signature pre-filter,
     exact-Jaccard verification.
@@ -266,7 +315,14 @@ def minhash_lsh_dedup(
     comparisons): a true j>=0.8 pair passes est>=0.55 with
     P(miss) ~ 1e-6 (Binomial(64, 0.8) below 36), while j<=0.3 noise
     passes with P ~ 3e-5. Exact verification then runs on the survivors
-    only (measured 74.5s -> ~15s at 5000 docs)."""
+    only (measured 74.5s -> ~15s at 5000 docs).
+
+    ``bucket_cap`` bounds per-(band, bucket) candidate generation via
+    :func:`_star_cap_sides`: clique pairing below the cap (exact LSH
+    semantics), star pairing on the bucket's min id above it — a
+    boilerplate cluster of m docs costs m-1 pairs per band instead of
+    m²/2 on one shuffle key. Component connectivity is preserved; run
+    exact dedup first so identical docs never flood a bucket."""
     # null-text docs get a null signature — they can never qualify as
     # near-dups, and banding them would pair every null doc with every
     # other (xxhash64 over nulls is a constant) and feed None rows into
@@ -313,13 +369,15 @@ def minhash_lsh_dedup(
             )
         ).alias("_b"),
     ).select("_id", "_sig", "_b.band", "_b.bh")
+    a_side, b_side = _star_cap_sides(banded, ("band", "bh"), "_id",
+                                     bucket_cap)
     paired = (
-        banded.select(
+        a_side.select(
             "band", "bh",
             F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga"),
         )
         .join(
-            banded.select(
+            b_side.select(
                 "band", "bh",
                 F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb"),
             ),
@@ -465,11 +523,18 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded by 16-bit blocks
     (any pair with distance <= 3 agrees on at least one of 4 blocks —
     exact recall at d<=3, so output equals the all-pairs computation;
-    the top block carries the signature's upper 14 bits)."""
+    the top block carries the signature's upper 14 bits).
+
+    ``bucket_cap`` bounds per-(block, value) pair generation via
+    :func:`_star_cap_sides` (clique below the cap, star on the min id
+    above it) — all-pairs equality holds for corpora whose block
+    buckets stay under the cap; degenerate boilerplate buckets keep
+    star connectivity only."""
     # materialized: the banded self-join consumes the signature kernel
     # on both sides, and mapInPandas output is not exchange-reused.
     # localCheckpoint, not persist — cache blocks would be pinned until
@@ -493,9 +558,11 @@ def simhash_near_pairs(
             )
         ).alias("_b"),
     ).select("doc_id", "simhash", "_b.blk", "_b.bv")
-    l = blocks.select("blk", "bv", F.col("doc_id").alias("doc_a"),
+    a_side, b_side = _star_cap_sides(blocks, ("blk", "bv"), "doc_id",
+                                     bucket_cap)
+    l = a_side.select("blk", "bv", F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("_sa"))
-    r = blocks.select("blk", "bv", F.col("doc_id").alias("doc_b"),
+    r = b_side.select("blk", "bv", F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("_sb"))
     # hamming filter BEFORE the pair-dedup: a near-identical cluster
     # floods the band join with duplicate candidates (439k at sf0.1),

@@ -463,3 +463,49 @@ def test_missing_buckets_span_guard(spark):
     out = {(r.conv_id, r.bucket_start.hour) for r in got.collect()}
     assert {c for c, _ in out} == {"a"}
     assert len(out) == 3
+
+
+def test_star_cap_sides_bounds_bucket_pairs(spark):
+    """Unit contract: one bucket of m rows above the cap yields exactly
+    m-1 (rep, other) pairs from the a<b join; buckets under the cap keep
+    full clique pairing."""
+    from ecov003_l2t_stars_spark.operators.dedup import _star_cap_sides
+
+    rows = [("k", i) for i in range(50)] + [("s", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "bh string, _id int")
+    a_side, b_side = _star_cap_sides(df, ("bh",), "_id", bucket_cap=10)
+    pairs = (
+        a_side.select("bh", F.col("_id").alias("a"))
+        .join(b_side.select("bh", F.col("_id").alias("b")), "bh")
+        .where(F.col("a") < F.col("b"))
+        .collect()
+    )
+    k_pairs = [(r.a, r.b) for r in pairs if r.bh == "k"]
+    s_pairs = [(r.a, r.b) for r in pairs if r.bh == "s"]
+    assert sorted(k_pairs) == [(0, i) for i in range(1, 50)]  # star on 0
+    assert sorted(s_pairs) == [(0, 1), (0, 2), (1, 2)]        # clique
+
+
+def test_boilerplate_cluster_is_capped_but_connected(spark):
+    """A 1.2k-doc near-identical boilerplate cluster (every band bucket
+    degenerate) must complete with star-bounded pair generation and
+    still form ONE connected component."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    boiler = "all work and no play makes jack a dull boy " * 6
+    rows = [(i, boiler) for i in range(1200)] + [
+        (2000, "a completely different document about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(8)
+    pairs = minhash_lsh_dedup(df, bucket_cap=1000)
+    got = pairs.collect()
+    # star per band, distinct across bands: exactly m-1 pairs, all
+    # anchored at the min id — NOT m(m-1)/2
+    assert len(got) == 1199
+    assert all(r.doc_a == 0 for r in got)
+    comp = dup_clusters(pairs)
+    labels = {r.cluster_id for r in comp.collect()}
+    assert labels == {0}
