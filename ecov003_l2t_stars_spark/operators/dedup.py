@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -581,6 +581,91 @@ def simhash_near_pairs(
     )
 
 
+def _alternating_star(
+    edges: DataFrame, max_iters: int
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    O(log n) rounds instead of the O(diameter) of min-label
+    propagation, so the round count is no longer data-shape-dependent.
+
+    ``edges``: canonical (u, v) with u < v, distinct. Per round:
+
+    - large-star: for every node u, connect each STRICTLY LARGER
+      neighbor v to m(u) = min(Γ(u) ∪ {u}) — each undirected edge is
+      processed from its smaller endpoint's side;
+    - small-star: for every node u, connect its strictly smaller
+      neighbors and u itself to m(u) = min of the smaller neighborhood.
+
+    Both operations preserve connectivity and monotonically pull nodes
+    toward their component minimum; the fixpoint is a star forest
+    rooted at each component's min id (large-star and small-star both
+    map a star forest to itself). Convergence is detected by set
+    equality of consecutive edge sets (equal counts + empty anti-join —
+    rule 5: no exceptAll).
+
+    Scale shape per round: two single-pass windowed min aggregations
+    keyed on node id — no joins, no driver-side graph state; each
+    round's edge set is eagerly localCheckpoint-ed (lineage would otherwise double
+    every round; on a production cluster prefer a durable
+    ``checkpoint()`` for executor-loss tolerance).
+
+    Returns (final star-forest edges, rounds used).
+    """
+    E = edges.localCheckpoint(eager=True)
+    n_edges = E.count()
+    rounds = 0
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        rounds += 1
+        # both star ops are SINGLE-PASS window aggregations (one
+        # exchange on u each, no self-joins): a groupBy+join form
+        # recomputes the upstream pipeline once per consumer (rule 10)
+        # and roughly doubles the per-round stage count
+        wu = Window.partitionBy("u")
+        nbr = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star: (m(u), v) for v in Γ(u), v > u, with
+        # m(u) = min(Γ(u) ∪ {u}); m ≤ u < v so the edge is canonical
+        large = (
+            nbr.withColumn(
+                "_m", F.least(F.min("v").over(wu), F.col("u"))
+            )
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("_m").alias("u"), "v")
+        )
+        # small-star over large's output: per node u, connect its
+        # strictly smaller neighbors and u itself to their min — one
+        # output edge per input row (the v == m row becomes the self
+        # edge (m, u))
+        nbr2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        smaller = nbr2.where(F.col("v") < F.col("u"))
+        new_E = (
+            smaller.withColumn("_m", F.min("v").over(wu))
+            .select(
+                F.col("_m").alias("u"),
+                F.when(F.col("v") == F.col("_m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
+            .where(F.col("u") < F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = new_E.count()
+        if new_n == n_edges and (
+            new_E.join(E, ["u", "v"], "left_anti").isEmpty()
+        ):
+            E = new_E
+            break
+        E, n_edges = new_E, new_n
+    return E, rounds
+
+
 def dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -590,76 +675,35 @@ def dup_clusters(
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
     The step after pair generation in a dedup pipeline: group mutually
-    similar docs so one canonical representative (the min id) survives.
-    Iterative min-label propagation over the undirected pair graph:
-    each round every node adopts the minimum label in its closed
-    neighborhood (one groupBy-min over the edge list + its reverse),
-    converging in O(diameter) rounds — near-dup clusters are small and
-    dense, so a handful of rounds suffices (``max_iters`` guards
-    pathological chains; alternate large-star/small-star is the
-    published trick if diameters ever get long).
-
-    Scale shape: per round, one join of the label table against the
-    edge list and one groupBy-min — all shuffles keyed on node id, no
-    driver-side graph state; the only driver value is the convergence
-    count. Each round's labels are EAGERLY localCheckpoint-ed: the label
-    plan references itself twice per round, so without lineage
-    truncation the logical plan doubles every iteration (exponential —
-    a 30-round chain OOMs the ANALYZER long before any data does; on a
-    production cluster prefer ``spark.sparkContext.setCheckpointDir`` +
-    ``checkpoint()`` for executor-loss tolerance).
+    similar docs so one canonical representative (the min id in the
+    component) survives. Runs :func:`_alternating_star` — the published
+    O(log n)-round large-star/small-star algorithm — then reads labels
+    off the final star forest: members point at their root, roots label
+    themselves. ``max_iters`` is a safety bound only; convergence takes
+    ~log₂(longest chain) rounds (pinned in tests).
     """
-    # no distinct: duplicate edges only contribute identical candidates
-    # to the min — harmless, and the dedup shuffle isn't
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
-            )
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
         )
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"),
-                    F.col("label").alias("_nl"),
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("_nl").alias("_nmin"))
-        )
-        upd = F.least(
-            F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                upd.alias("_new"),
-                (upd < F.col("label")).alias("_chg"),
-            )
-            .withColumnRenamed("_new", "label")
-            .localCheckpoint()  # eager: truncates the per-round lineage
-        )
-        # convergence read straight off the checkpointed data — no
-        # old-vs-new join
-        changed = new_labels.where(F.col("_chg")).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    stars, _ = _alternating_star(edges, max_iters)
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    # star forest: each member has exactly one edge to its root; the
+    # groupBy-min is a no-op safety net if max_iters truncated the run
+    members = stars.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("_root")
+    )
+    return nodes.join(members, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("_root"), F.col("node")).alias("cluster_id"),
     )
 
 

@@ -509,3 +509,21 @@ def test_boilerplate_cluster_is_capped_but_connected(spark):
     comp = dup_clusters(pairs)
     labels = {r.cluster_id for r in comp.collect()}
     assert labels == {0}
+
+
+def test_alternating_star_round_count(spark):
+    """The large-star/small-star rewrite must converge in O(log n)
+    rounds: a 30-hop path needs ≤ ⌈log₂ 30⌉ + 2 = 7 rounds (min-label
+    propagation needed ~30)."""
+    import math
+
+    from ecov003_l2t_stars_spark.operators.dedup import _alternating_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "u long, v long"
+    )
+    stars, rounds = _alternating_star(edges, max_iters=50)
+    got = stars.collect()
+    assert {r.u for r in got} == {100}
+    assert {r.v for r in got} == set(range(101, 131))
+    assert rounds <= math.ceil(math.log2(30)) + 2
