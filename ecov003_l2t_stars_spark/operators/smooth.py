@@ -79,6 +79,33 @@ def latest_state(state_df: DataFrame, tier: str, as_of) -> DataFrame:
     )
 
 
+def prior_state_as_of(
+    fmt,
+    spark,
+    path: str,
+    tier: str,
+    as_of,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Reload priors from a specific TABLE SNAPSHOT via the TableFormat
+    contract — the time-travel analog of the reference reloading the
+    PREVIOUS product archive as its prior (``load_prior.py:14-250``):
+    a rerun of day N must consume the state exactly as it stood after
+    day N-1's commit, even if later commits already advanced the table.
+
+    ``snapshot_id=None`` reads the current snapshot (plain resume);
+    otherwise ``fmt.read_as_of`` resolves the historical one (supported
+    by ``SnapshotParquetFormat`` / ``InMemoryFormat``). Row-level
+    ``as_of`` filtering then applies as in :func:`latest_state`.
+    """
+    state = (
+        fmt.read_as_of(spark, path, snapshot_id)
+        if snapshot_id is not None
+        else fmt.read(spark, path)
+    )
+    return latest_state(state, tier, as_of)
+
+
 def _series_bounds(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(starts, lengths) of each conv's slice in a (conv_id, _idx)-sorted
     batch, failing fast if any series is non-dense.

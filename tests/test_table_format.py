@@ -16,8 +16,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from ecov003_l2t_stars_spark.plans.table_format import (
+    CommitConflictError,
     InMemoryFormat,
     ParquetFormat,
+    SnapshotParquetFormat,
 )
 
 T0 = dt.datetime(2025, 1, 1)
@@ -38,6 +40,10 @@ def formats(tmp_path):
     return [
         (ParquetFormat(), lambda name: str(tmp_path / "pq" / name)),
         (InMemoryFormat(), lambda name: str(tmp_path / "mem" / name)),
+        (
+            SnapshotParquetFormat(),
+            lambda name: str(tmp_path / "snap" / name),
+        ),
     ]
 
 
@@ -228,3 +234,108 @@ def test_pipeline_contract_in_memory(spark, tmp_path, formats):
             for t in tiers
         })
     assert outs[0] == outs[1]
+
+
+@pytest.fixture()
+def snap_formats(tmp_path):
+    """The two snapshot-keeping implementations."""
+    return [
+        (
+            SnapshotParquetFormat(),
+            lambda name: str(tmp_path / "snap" / name),
+        ),
+        (InMemoryFormat(), lambda name: str(tmp_path / "mem" / name)),
+    ]
+
+
+def test_time_travel_reads_historical_snapshot(spark, snap_formats):
+    """Every write verb advances the snapshot id; read_as_of resolves
+    each historical state bit-for-bit while read() sees the latest."""
+    for fmt, path_of in snap_formats:
+        p = path_of("tt")
+        fmt.overwrite_partitions(_seed(spark), p, "part")       # v0
+        repl = spark.createDataFrame(
+            [("x1", 1, 100.0)], "key string, part int, val double"
+        )
+        fmt.overwrite_partitions(repl, p, "part")               # v1
+        fmt.delete_where(spark, p, F.col("val") > 50.0, "part")  # v2
+        assert fmt.snapshots(spark, p) == [0, 1, 2]
+        assert fmt.current_snapshot(spark, p) == 2
+        v0 = _rows_of(fmt.read_as_of(spark, p, 0))
+        assert v0 == _rows_of(_seed(spark))
+        v1 = _rows_of(fmt.read_as_of(spark, p, 1))
+        assert [r for r in v1 if r[1] == 1] == [("x1", 1, 100.0)]
+        assert _rows_of(fmt.read(spark, p)) == _rows_of(
+            fmt.read_as_of(spark, p, 2)
+        )
+        assert all(r[2] <= 50.0 for r in _rows_of(fmt.read(spark, p)))
+
+
+def test_commit_conflict_detection(spark, snap_formats):
+    """A writer that started from a stale snapshot must fail its commit
+    (optimistic concurrency), and the table keeps the other writer's
+    result."""
+    for fmt, path_of in snap_formats:
+        p = path_of("cc")
+        fmt.overwrite_partitions(_seed(spark), p, "part")  # v0
+        base = fmt.current_snapshot(spark, p)
+        w1 = spark.createDataFrame(
+            [("w1", 1, 1.0)], "key string, part int, val double"
+        )
+        w2 = spark.createDataFrame(
+            [("w2", 1, 2.0)], "key string, part int, val double"
+        )
+        fmt.overwrite_partitions(w1, p, "part", expected_snapshot=base)
+        with pytest.raises(CommitConflictError):
+            fmt.overwrite_partitions(w2, p, "part", expected_snapshot=base)
+        vals = {r[0] for r in _rows_of(fmt.read(spark, p)) if r[1] == 1}
+        assert vals == {"w1"}
+
+
+def test_prior_state_time_travel(spark, snap_formats):
+    """smooth.prior_state_as_of: a rerun consumes the state table as it
+    stood at an earlier commit, not the advanced current one."""
+    from ecov003_l2t_stars_spark.operators.smooth import prior_state_as_of
+
+    schema = (
+        "conv_id string, tier string, as_of timestamp, mean double, "
+        "var double, bias_mean double, bias_var double"
+    )
+    for fmt, path_of in snap_formats:
+        p = path_of("state")
+        day1 = spark.createDataFrame(
+            [("c1", "1h", T0, 1.0, 0.5, 0.0, 0.1)], schema
+        )
+        fmt.append(day1, p)  # v0
+        day2 = spark.createDataFrame(
+            [("c1", "1h", T0 + dt.timedelta(days=1), 9.0, 0.4, 0.1, 0.1)],
+            schema,
+        )
+        fmt.append(day2, p)  # v1: current now prefers day2's row
+        cur = prior_state_as_of(
+            fmt, spark, p, "1h", T0 + dt.timedelta(days=2)
+        ).collect()
+        assert cur[0].prior_mean == 9.0
+        old = prior_state_as_of(
+            fmt, spark, p, "1h", T0 + dt.timedelta(days=2), snapshot_id=0
+        ).collect()
+        assert old[0].prior_mean == 1.0
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """File GC: expiring old manifests removes unreferenced data files
+    but keeps the current snapshot intact."""
+    fmt = SnapshotParquetFormat()
+    p = str(tmp_path / "gc")
+    fmt.overwrite_partitions(_seed(spark), p, "part")
+    repl = spark.createDataFrame(
+        [("x1", 1, 100.0)], "key string, part int, val double"
+    )
+    fmt.overwrite_partitions(repl, p, "part")
+    before = _rows_of(fmt.read(spark, p))
+    removed = fmt.expire_snapshots(p, keep_last=1)
+    assert removed > 0
+    assert fmt.snapshots(spark, p) == [1]
+    assert _rows_of(fmt.read(spark, p)) == before
+    with pytest.raises(FileNotFoundError):
+        fmt.read_as_of(spark, p, 0)
