@@ -4,21 +4,36 @@ Engine-new component (SURVEY §2.10: the reference persists float32
 GeoTIFF layers with external compression; a 10^12-turn tier store needs
 in-payload compression). Implements the scheme from Pelkonen et al.,
 "Gorilla: A Fast, Scalable, In-Memory Time Series Database" (VLDB 2015):
+delta-of-delta timestamp classes and XOR float windows, with one
+engineering departure — a SECTION-WISE layout instead of the paper's
+single interleaved bit stream:
 
-- timestamps (int64 epoch-micros): header stores t0 and the first delta
-  verbatim; subsequent points store the delta-of-delta in variable-width
-  classes ``0 | 10+14b | 110+20b | 1110+28b | 11110+36b | 11111+64b``
-  (widened vs the paper's seconds-resolution classes to suit micros).
-- values (float64 bit patterns): XOR with the previous value;
-  ``0`` = identical; ``10`` = meaningful bits fit the previous
-  leading/length window; ``11`` + 6-bit leading-zero count + 6-bit
-  significant-bit length + bits.
-- NaNs are canonicalized to the quiet-NaN pattern 0x7ff8000000000000
-  before encoding so round-trips are bit-stable (SURVEY §7.2).
+    header  | t0 | zz(first_delta) | ts controls | ts payload
+            | v0 | value controls  | window meta | value payload
 
-Pure-Python bit I/O over int accumulators; invoked only inside
-Arrow-batched UDFs at segment granularity (encode once per
-(conv, tier, segment)), never per Spark row.
+Every section is byte-aligned and fixed-width EXCEPT the two payload
+sections, whose field widths are fully determined by the control
+sections that precede them. That makes both directions vectorizable:
+controls and window metadata are fixed-width bit matrices
+(``np.packbits``/reshape), payload fields are stored GROUPED BY WIDTH
+CLASS (ascending width, stable row order within a class) so each group
+is itself a fixed-width bit matrix, timestamps are a modular-int64
+``cumsum`` (bit-exact
+with per-step int64 wrap, since the true instants fit int64), and
+values are one ``np.bitwise_xor.accumulate``. The interleaved layout
+forced µs-per-point Python loops (each field's position depended on
+every previous field's decoded content); section-wise costs ≲ 2 extra
+bits/point of padding and control-code widening (3-bit dod class codes
+instead of 1–5-bit unary prefixes) and decodes ~10× faster.
+
+Per point: timestamps ``0 | 1..4 (14/20/28/36-bit zz dod) | 5 (66-bit
+escape)``; values ``0`` = identical, ``2`` = meaningful bits fit the
+previous leading/length window, ``3`` = new 6-bit lead + 6-bit len-1
+window (the paper's ``0 / 10 / 11`` controls, fixed-width). NaNs are
+canonicalized to 0x7ff8000000000000 before encoding so round-trips are
+bit-stable (SURVEY §7.2). The scalar encoder is the byte-parity
+reference twin for the NumPy one; invoked only inside Arrow-batched
+UDFs at segment granularity, never per Spark row.
 """
 
 from __future__ import annotations
@@ -27,27 +42,22 @@ import struct
 
 import numpy as np
 
-MAGIC = 0x47524C41  # "GRLA"
+MAGIC = 0x47524C42  # "GRLB" — section-wise layout (v2)
 _QNAN = 0x7FF8000000000000
+_M64 = 0xFFFFFFFFFFFFFFFF
 
-# delta-of-delta classes: (prefix_bits, prefix_len, payload_bits)
-_DOD_CLASSES = (
-    (0b10, 2, 14),
-    (0b110, 3, 20),
-    (0b1110, 4, 28),
-    (0b11110, 5, 36),
-)
+# delta-of-delta class payload widths; class code = index + 1 in the
+# 3-bit control section (code 0 = dod == 0, code 5 = 66-bit escape)
+_DOD_WIDTHS = (14, 20, 28, 36, 66)
+_DOD_THRESH = np.array([1 << 14, 1 << 20, 1 << 28, 1 << 36], dtype=np.int64)
+_DOD_W_ARR = np.array(_DOD_WIDTHS, dtype=np.int64)
 
 
 class _BitWriter:
-    """MSB-first bit appender that flushes completed bytes eagerly.
-
-    The accumulator never grows past ``nbits_in_flight + 66`` bits: a
-    single ever-growing int accumulator makes each ``write`` shift the
-    whole stream (O(total_bits) word ops per call → quadratic in
-    segment size; measured 21 µs/point at 4096-point segments, ~6×
-    the flushed form). Emitted bit sequence is identical.
-    """
+    """MSB-first bit appender that flushes completed bytes eagerly;
+    ``bytes()`` pads the tail to a byte boundary. Used by the scalar
+    reference encoder (one writer per SECTION, so padding matches the
+    vectorized ``np.packbits`` output exactly)."""
 
     __slots__ = ("out", "acc", "nbits")
 
@@ -83,12 +93,6 @@ def _unzigzag(z: int) -> int:
     return (z >> 1) if (z & 1) == 0 else -((z + 1) >> 1)
 
 
-_DOD_THRESH = np.array([1 << 14, 1 << 20, 1 << 28, 1 << 36], dtype=np.int64)
-_DOD_NBP = np.array([14, 20, 28, 36, 66], dtype=np.int64)
-_DOD_COMBINED_NBITS = np.array([16, 23, 32, 41, 71], dtype=np.int64)
-_DOD_PFX = np.array([0b10, 0b110, 0b1110, 0b11110, 0], dtype=np.int64)
-
-
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     """Exact bit_length of uint64 values via frexp on 32-bit halves.
 
@@ -102,17 +106,109 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return np.where(hi > 0, 32 + e_hi, e_lo).astype(np.int64)
 
 
+# --------------------------------------------------------------------------
+# bit-matrix helpers (the whole point of the section-wise layout)
+# --------------------------------------------------------------------------
+def _bits_fixed(vals: np.ndarray, w: int) -> np.ndarray:
+    """(m*w,) uint8 bit expansion of equal-width fields, MSB-first:
+    one C-level ``np.unpackbits`` over the big-endian byte view (no
+    per-bit-position Python loop). Widths may exceed 64; bits above 63
+    are emitted as 0 (the vectorized encoder's guard keeps escape
+    values < 2^63)."""
+    m = vals.size
+    bits = np.unpackbits(
+        vals.astype(">u8").view(np.uint8).reshape(m, 8), axis=1
+    )
+    if w <= 64:
+        return np.ascontiguousarray(bits[:, 64 - w:]).ravel()
+    return np.concatenate(
+        [np.zeros((m, w - 64), dtype=np.uint8), bits], axis=1
+    ).ravel()
+
+
+def _accum_cols(mat: np.ndarray) -> np.ndarray:
+    """Inverse of the per-class expansion: (m, w≤64) uint8 → uint64,
+    via ``np.packbits`` over a left-zero-padded (m, 64) bit matrix."""
+    m, w = mat.shape
+    if w < 64:
+        full = np.zeros((m, 64), dtype=np.uint8)
+        full[:, 64 - w:] = mat
+    else:
+        full = np.ascontiguousarray(mat)
+    return np.packbits(full, axis=1).view(">u8").astype(np.uint64).ravel()
+
+
+def _pack_fixed(vals: np.ndarray, w: int) -> bytes:
+    """Pack equal-width fields MSB-first, byte-padded."""
+    if vals.size == 0:
+        return b""
+    return np.packbits(_bits_fixed(vals, w)).tobytes()
+
+
+def _gather_fixed(data: bytes, m: int, w: int) -> np.ndarray:
+    """Inverse of :func:`_pack_fixed` → uint64 array of m values."""
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    return _accum_cols(bits[: m * w].reshape(m, w))
+
+
+def _pack_classed(vals: np.ndarray, widths: np.ndarray) -> bytes:
+    """Payload section: fields GROUPED BY WIDTH (ascending), stable row
+    order within a group, one byte-padded bit stream. Grouping is what
+    keeps both directions reshape-shaped — interleaved variable-width
+    fields forced per-bit repeat/arange index arrays an order of
+    magnitude slower."""
+    if len(widths) == 0:
+        return b""
+    parts = [
+        _bits_fixed(vals[widths == w], int(w)) for w in np.unique(widths)
+    ]
+    return np.packbits(np.concatenate(parts)).tobytes()
+
+
+def _gather_classed(
+    data: bytes, widths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Inverse of :func:`_pack_classed`, restoring original row order.
+    Returns (lo64, hi) where hi carries bits 64+ of >64-bit fields
+    (None when no such bit is set)."""
+    n = len(widths)
+    out = np.zeros(n, dtype=np.uint64)
+    hi_out = None
+    if n == 0:
+        return out, hi_out
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    off = 0
+    for w in np.unique(widths):
+        w = int(w)
+        idx = np.flatnonzero(widths == w)
+        m = len(idx)
+        mat = bits[off:off + m * w].reshape(m, w)
+        off += m * w
+        if w <= 64:
+            out[idx] = _accum_cols(mat)
+        else:
+            hi = _accum_cols(mat[:, : w - 64])
+            out[idx] = _accum_cols(mat[:, w - 64:])
+            if bool(hi.any()):
+                if hi_out is None:
+                    hi_out = np.zeros(n, dtype=np.uint64)
+                hi_out[idx] = hi
+    return out, hi_out
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
 def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     """Encode parallel int64-micros timestamps + float64 values.
 
-    Per-point metadata (delta-of-delta class, zigzag, XOR
-    leading/trailing zero counts) is precomputed vectorized; the
-    sequential window/bit-emission runs as a lean Python loop over the
-    precomputed lists, emitting each point as ONE combined field
-    (concatenation of sub-fields is associative, so the bit stream is
-    identical to the per-field writes — sha-checked in tests). Falls
-    back to the scalar path when |ts| ≥ 2^60, where int64 delta/dod
-    arithmetic could wrap (the scalar path uses Python ints)."""
+    The vectorized body runs when int64 delta/dod arithmetic cannot
+    wrap; otherwise the Python-int scalar twin (byte-parity-tested
+    against the vectorized one in their shared domain) handles the full
+    range. The range test is wrap-free on purpose: np.abs(int64-min)
+    wraps back to int64-min and would pass an abs()-based guard."""
     ts = np.asarray(ts_us, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     if ts.shape != vals.shape:
@@ -121,158 +217,168 @@ def encode_segment(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     header = struct.pack(">IQ", MAGIC, n)
     if n == 0:
         return header
-    # wrap-free range test: np.abs(int64-min) wraps back to int64-min,
-    # which would pass an abs()-based guard and run the vectorized
-    # delta/zigzag arithmetic outside its safety envelope
     if n > 2 and bool(np.all((ts > -(1 << 60)) & (ts < (1 << 60)))):
         return header + _encode_fields_vectorized(ts, vals)
     return header + _encode_fields_scalar(ts, vals)
 
 
 def _encode_fields_scalar(ts: np.ndarray, vals: np.ndarray) -> bytes:
-    """Reference body encoder: Python-int arithmetic, field-at-a-time.
-
-    Handles any int64 timestamps (deltas/dods as unbounded Python ints);
-    the vectorized path is byte-parity-tested against this one."""
+    """Reference body encoder: Python-int arithmetic, section by
+    section. Handles any int64 timestamps (deltas/dods as unbounded
+    Python ints); the vectorized path is byte-parity-tested against
+    this one."""
     n = ts.size
-    w = _BitWriter()
-    # --- timestamps ---
-    w.write(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    out = bytearray()
+    out += struct.pack(">Q", int(ts[0]) & _M64)
     if n > 1:
         first_delta = int(ts[1]) - int(ts[0])
-        w.write(_zigzag(first_delta), 66)  # |delta of int64s| < 2^64
-        prev_delta = first_delta
+        out += _zigzag(first_delta).to_bytes(9, "big")
+    if n > 2:
+        ctrl = _BitWriter()
+        by_class: dict[int, list[int]] = {}
+        prev_delta = int(ts[1]) - int(ts[0])
         for i in range(2, n):
             delta = int(ts[i]) - int(ts[i - 1])
             dod = delta - prev_delta
             prev_delta = delta
             if dod == 0:
-                w.write(0, 1)
-            else:
-                z = _zigzag(dod)
-                for prefix, plen, bits in _DOD_CLASSES:
-                    if z < (1 << bits):
-                        w.write(prefix, plen)
-                        w.write(z, bits)
-                        break
-                else:
-                    # escape class: 66 bits covers zigzag of any
-                    # difference of two int64 deltas
-                    w.write(0b11111, 5)
-                    w.write(z, 66)
+                ctrl.write(0, 3)
+                continue
+            z = _zigzag(dod)
+            for ci, w in enumerate(_DOD_WIDTHS):
+                if z < (1 << w) or w == 66:
+                    ctrl.write(ci + 1, 3)
+                    by_class.setdefault(w, []).append(z)
+                    break
+        out += ctrl.bytes()
+        pay = _BitWriter()
+        for w in sorted(by_class):  # width-class grouping, ascending
+            for z in by_class[w]:
+                pay.write(z, w)
+        out += pay.bytes()
 
-    # --- values (XOR) ---
     bits = vals.view(np.uint64).copy()
-    nan_mask = np.isnan(vals)
-    bits[nan_mask] = np.uint64(_QNAN)
-    prev = int(bits[0])
-    w.write(prev, 64)
-    prev_lead, prev_sig = 65, 0  # invalid window → first XOR uses control 11
-    for i in range(1, n):
-        cur = int(bits[i])
-        x = prev ^ cur
-        prev = cur
-        if x == 0:
-            w.write(0, 1)
-            continue
-        lead = 64 - x.bit_length()
-        trail = (x & -x).bit_length() - 1
-        if lead > 31:
-            lead = 31
-        sig = 64 - lead - trail
-        if (
-            prev_lead <= lead
-            and (64 - prev_lead - prev_sig) <= trail
-            and prev_sig > 0
-        ):
-            # reuse previous window
-            w.write(0b10, 2)
-            w.write(x >> (64 - prev_lead - prev_sig), prev_sig)
-        else:
-            w.write(0b11, 2)
-            w.write(lead, 6)
-            w.write(sig - 1, 6)
-            w.write(x >> trail, sig)
-            prev_lead, prev_sig = lead, sig
-    return w.bytes()
+    bits[np.isnan(vals)] = np.uint64(_QNAN)
+    out += struct.pack(">Q", int(bits[0]))
+    if n > 1:
+        ctrl = _BitWriter()
+        meta = _BitWriter()
+        by_width: dict[int, list[int]] = {}
+        prev = int(bits[0])
+        prev_lead, prev_sig = 65, 0
+        for i in range(1, n):
+            cur = int(bits[i])
+            x = prev ^ cur
+            prev = cur
+            if x == 0:
+                ctrl.write(0, 2)
+                continue
+            lead = 64 - x.bit_length()
+            trail = (x & -x).bit_length() - 1
+            if lead > 31:
+                lead = 31
+            sig = 64 - lead - trail
+            if (
+                prev_lead <= lead
+                and (64 - prev_lead - prev_sig) <= trail
+                and prev_sig > 0
+            ):
+                ctrl.write(0b10, 2)
+                by_width.setdefault(prev_sig, []).append(
+                    x >> (64 - prev_lead - prev_sig)
+                )
+            else:
+                ctrl.write(0b11, 2)
+                meta.write((lead << 6) | (sig - 1), 12)
+                by_width.setdefault(sig, []).append(x >> trail)
+                prev_lead, prev_sig = lead, sig
+        out += ctrl.bytes()
+        out += meta.bytes()
+        pay = _BitWriter()
+        for w in sorted(by_width):  # width-class grouping, ascending
+            for v in by_width[w]:
+                pay.write(v, w)
+        out += pay.bytes()
+    return bytes(out)
 
 
 def _encode_fields_vectorized(ts: np.ndarray, vals: np.ndarray) -> bytes:
-    """Body encoder for the guarded fast path (n > 2, |ts| < 2^60)."""
+    """Body encoder for the guarded fast path (n > 2, |ts| < 2^60):
+    everything is NumPy except the value-window scan, which only
+    CHOOSES control codes (the emission it used to interleave with is
+    now the batched section packers)."""
     n = ts.size
-    w = _BitWriter()
-    wr = w.write
+    out = bytearray()
 
     # --- timestamps ---
-    wr(int(ts[0]) & 0xFFFFFFFFFFFFFFFF, 64)
+    out += struct.pack(">Q", int(ts[0]) & _M64)
+    first_delta = int(ts[1]) - int(ts[0])
+    out += _zigzag(first_delta).to_bytes(9, "big")
     deltas = np.diff(ts)  # < 2^61 in magnitude under the guard
-    wr(_zigzag(int(deltas[0])), 66)
     dods = np.diff(deltas)  # < 2^62
     z = np.where(dods >= 0, dods << 1, ((-dods) << 1) - 1)  # < 2^63
     cls = np.searchsorted(_DOD_THRESH, z, side="right")
-    zero = dods == 0
-    nbits_t = np.where(zero, 1, _DOD_COMBINED_NBITS[cls])
-    # escape-class combined value would need 71 bits — keep z raw there
-    # and emit the prefix separately in the loop
-    val_t = np.where(
-        zero, 0, np.where(cls < 4, (_DOD_PFX[cls] << _DOD_NBP[cls]) | z, z)
-    )
-    for v, nb in zip(val_t.tolist(), nbits_t.tolist()):
-        if nb == 71:
-            wr(0b11111, 5)
-            wr(v, 66)
-        else:
-            wr(v, nb)
+    codes = np.where(dods == 0, 0, cls + 1).astype(np.uint64)
+    out += _pack_fixed(codes, 3)
+    nz = codes > 0
+    out += _pack_classed(z[nz].astype(np.uint64), _DOD_W_ARR[cls[nz]])
 
     # --- values (XOR) ---
     bits = vals.view(np.uint64).copy()
     bits[np.isnan(vals)] = np.uint64(_QNAN)
-    wr(int(bits[0]), 64)
+    out += struct.pack(">Q", int(bits[0]))
     x = bits[1:] ^ bits[:-1]
-    nz = x > 0
+    nzv = x > 0
     lead = np.minimum(64 - _bit_length_u64(x), 31)
     lowbit = x & (~x + np.uint64(1))
-    trail = np.where(nz, _bit_length_u64(lowbit) - 1, 0)
+    trail = np.where(nzv, _bit_length_u64(lowbit) - 1, 0)
     xl = x.tolist()
     ll = lead.tolist()
     tl = trail.tolist()
-    prev_lead, prev_sig = 65, 0
-    for i in range(n - 1):
-        xi = xl[i]
+    vcode_l = [0] * (n - 1)
+    metas: list[int] = []
+    sig_vals: list[int] = []
+    sig_widths: list[int] = []
+    prev_lead, prev_sig, prev_tail = 65, 0, 64
+    for i, xi in enumerate(xl):
         if xi == 0:
-            wr(0, 1)
             continue
         li = ll[i]
-        ti = tl[i]
-        if (
-            prev_lead <= li
-            and (64 - prev_lead - prev_sig) <= ti
-            and prev_sig > 0
-        ):
-            wr(
-                (0b10 << prev_sig)
-                | (xi >> (64 - prev_lead - prev_sig)),
-                2 + prev_sig,
-            )
+        if prev_lead <= li and prev_tail <= tl[i] and prev_sig > 0:
+            vcode_l[i] = 2
+            sig_vals.append(xi >> prev_tail)
+            sig_widths.append(prev_sig)
         else:
+            ti = tl[i]
             si = 64 - li - ti
-            wr(
-                (((((0b11 << 6) | li) << 6) | (si - 1)) << si)
-                | (xi >> ti),
-                14 + si,
-            )
-            prev_lead, prev_sig = li, si
-    return w.bytes()
+            vcode_l[i] = 3
+            metas.append((li << 6) | (si - 1))
+            sig_vals.append(xi >> ti)
+            sig_widths.append(si)
+            prev_lead, prev_sig, prev_tail = li, si, ti
+    out += _pack_fixed(np.array(vcode_l, dtype=np.uint64), 2)
+    out += _pack_fixed(np.array(metas, dtype=np.uint64), 12)
+    out += _pack_classed(
+        np.array(sig_vals, dtype=np.uint64),
+        np.array(sig_widths, dtype=np.int64),
+    )
+    return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
 def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_segment` → (ts_us int64, values float64).
 
-    The bit cursor is inlined into the loops (local ``pos`` + direct
-    ``int.from_bytes`` over the covering span; Python lists instead of
-    per-element ndarray stores) — the decode stream is inherently
-    sequential (variable-width fields), so this is a constant-factor
-    tightening, not a vectorization."""
+    Fully vectorized: fixed-width sections via reshape, payload fields
+    via one repeat/reduceat gather, timestamps via modular-int64 cumsum
+    (the true instants fit int64, so mod-2^64 accumulation is exact —
+    same contract as the old per-step int64 wrap), values via
+    ``np.bitwise_xor.accumulate``. Every section's length is validated
+    before it is touched, so truncated or corrupt payloads raise
+    ValueError instead of decoding garbage (and a corrupt huge row
+    count is rejected before any O(n) allocation)."""
     if len(payload) < 12:
         raise ValueError("truncated payload: missing header")
     magic, n = struct.unpack(">IQ", payload[:12])
@@ -280,72 +386,116 @@ def decode_segment(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError("bad magic")
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    data = payload[12:]
-    nbits_avail = len(data) * 8
-    # cheapest possible stream for n points: 64-bit t0 (+66-bit first
-    # delta, 1 control bit per further point) + 64-bit v0 + 1 control
-    # bit per further value. Rejecting up front keeps a corrupt header
-    # from allocating O(n) output for a tiny buffer.
-    min_bits = 64 + 64 + (66 + (n - 2) if n > 1 else 0) + (n - 1)
-    if nbits_avail < min_bits:
-        raise ValueError(
-            f"truncated payload: {nbits_avail} bits < minimum "
-            f"{min_bits} for {n} points"
-        )
-    fb = int.from_bytes
-    pos = 0
-
-    def _rd(nbits: int) -> int:
-        nonlocal pos
-        end = pos + nbits
-        hi = (end + 7) >> 3
-        out = (fb(data[pos >> 3:hi], "big") >> ((hi << 3) - end)) & (
-            (1 << nbits) - 1
-        )
-        pos = end
-        return out
-
-    t0 = _rd(64)
-    if t0 >= 1 << 63:
-        t0 -= 1 << 64
-    out_ts = [t0] * n
+    # cheapest possible stream for n points (anchors + control
+    # sections with all-zero payloads); rejecting up front keeps a
+    # corrupt header from allocating O(n) output for a tiny buffer
+    min_len = 12 + 8 + 8
     if n > 1:
-        delta = _unzigzag(_rd(66))
-        cur = int(np.int64(t0 + delta))  # wraps like int64 arithmetic
-        out_ts[1] = cur
-        prev_delta = delta
-        for i in range(2, n):
-            # control: 0 | 10 | 110 | 1110 | 11110 | 11111
-            if _rd(1):
-                cls = 0
-                while cls < 4 and _rd(1):
-                    cls += 1
-                bits = 66 if cls == 4 else _DOD_CLASSES[cls][2]
-                prev_delta = prev_delta + _unzigzag(_rd(bits))
-            cur = cur + prev_delta
-            out_ts[i] = cur
-    ts = np.array(out_ts, dtype=np.int64)
-
-    prev = _rd(64)
-    out_bits = [prev] * n
-    lead, sig = 0, 0
-    for i in range(1, n):
-        if _rd(1) == 0:
-            out_bits[i] = prev
-            continue
-        if _rd(1):  # control 11: new window
-            lead = _rd(6)
-            sig = _rd(6) + 1
-        prev ^= _rd(sig) << (64 - lead - sig)
-        out_bits[i] = prev
-    vals = np.array(out_bits, dtype=np.uint64).view(np.float64)
-    # bytes-slice reads silently yield zero bits past the end of the
-    # buffer — the cursor still advances, so one final bound check
-    # catches any truncation mid-stream (the old per-byte loop raised
-    # IndexError; this keeps that guarantee without per-read checks)
-    if pos > nbits_avail:
+        min_len += 9 + ((2 * (n - 1) + 7) >> 3)
+    if n > 2:
+        min_len += (3 * (n - 2) + 7) >> 3
+    if len(payload) < min_len:
         raise ValueError(
-            f"truncated payload: stream needs {pos} bits, "
-            f"have {nbits_avail}"
+            f"truncated payload: {len(payload)} bytes < minimum "
+            f"{min_len} for {n} points"
         )
-    return ts, vals
+    off = 12
+
+    def need(k: int) -> None:
+        if len(payload) < off + k:
+            raise ValueError(
+                f"truncated payload: need {off + k} bytes, "
+                f"have {len(payload)}"
+            )
+
+    need(8)
+    u = int.from_bytes(payload[off:off + 8], "big")
+    t0 = u - (1 << 64) if u >= 1 << 63 else u
+    off += 8
+
+    first_delta = 0
+    if n > 1:
+        need(9)
+        first_delta = _unzigzag(
+            int.from_bytes(payload[off:off + 9], "big")
+        )
+        off += 9
+
+    dod64 = np.zeros(n - 2 if n > 2 else 0, dtype=np.int64)
+    if n > 2:
+        cbytes = (3 * (n - 2) + 7) >> 3
+        need(cbytes)
+        codes = _gather_fixed(payload[off:off + cbytes], n - 2, 3)
+        off += cbytes
+        if bool(np.any(codes > 5)):
+            raise ValueError("corrupt payload: invalid dod class code")
+        nz = codes > 0
+        widths = _DOD_W_ARR[(codes[nz] - np.uint64(1)).astype(np.int64)]
+        pbytes = (int(widths.sum()) + 7) >> 3
+        need(pbytes)
+        lo, hi = _gather_classed(payload[off:off + pbytes], widths)
+        off += pbytes
+        # unzigzag in mod-2^64 arithmetic: dod = ±(z+1)//2; hi carries
+        # bits 64+ of escape fields, which only shift the wrap
+        half = np.where(
+            lo & np.uint64(1),
+            ((lo >> np.uint64(1)) + np.uint64(1)),
+            lo >> np.uint64(1),
+        )
+        if hi is not None:
+            half = half + (hi << np.uint64(63))
+        signed = half.view(np.int64).copy()
+        d = np.where(lo & np.uint64(1), -signed, signed)
+        dod64[nz] = d
+
+    # deltas_i (i >= 2) = first_delta + cumsum(dod); ts = t0 + cumsum
+    fd64 = np.int64(((first_delta + (1 << 63)) & _M64) - (1 << 63))
+    steps = np.empty(n, dtype=np.int64)
+    steps[0] = t0
+    if n > 1:
+        steps[1] = fd64
+    if n > 2:
+        steps[2:] = fd64 + np.cumsum(dod64)
+    ts = np.cumsum(steps)
+
+    need(8)
+    v0 = np.uint64(int.from_bytes(payload[off:off + 8], "big"))
+    off += 8
+    if n == 1:
+        return ts, np.array([v0], dtype=np.uint64).view(np.float64)
+
+    cbytes = (2 * (n - 1) + 7) >> 3
+    need(cbytes)
+    vcodes = _gather_fixed(payload[off:off + cbytes], n - 1, 2)
+    off += cbytes
+    if bool(np.any(vcodes == 1)):
+        raise ValueError("corrupt payload: invalid value control code")
+    is_new = vcodes == 3
+    n_new = int(is_new.sum())
+    mbytes = (12 * n_new + 7) >> 3
+    need(mbytes)
+    wm = _gather_fixed(payload[off:off + mbytes], n_new, 12)
+    off += mbytes
+    leads = wm >> np.uint64(6)
+    sigs = (wm & np.uint64(63)) + np.uint64(1)
+
+    nzv = vcodes != 0
+    widx = np.cumsum(is_new) - 1
+    if bool(np.any(nzv & (widx < 0))):
+        raise ValueError("corrupt payload: window reuse before any window")
+    if bool(np.any(leads + sigs > np.uint64(64))):
+        raise ValueError("corrupt payload: window exceeds 64 bits")
+    sig_pt = sigs[widx[nzv]]
+    lead_pt = leads[widx[nzv]]
+    pbytes = (int(sig_pt.sum()) + 7) >> 3
+    need(pbytes)
+    lo, _ = _gather_classed(
+        payload[off:off + pbytes], sig_pt.astype(np.int64)
+    )
+    off += pbytes
+    x = np.zeros(n - 1, dtype=np.uint64)
+    x[nzv] = lo << (np.uint64(64) - lead_pt - sig_pt)
+    vals_bits = np.bitwise_xor.accumulate(
+        np.concatenate(([v0], x))
+    )
+    return ts, vals_bits.view(np.float64)

@@ -90,32 +90,37 @@ def encode_payloads(
     )
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conv_id", "_seg", "bucket_start"], kind="mergesort")
-        out = []
-        ts_us_all = (
-            pdf["bucket_start"].to_numpy().astype("datetime64[us]").view("int64")
-        )
-        vals_all = pdf["_v"].to_numpy(dtype=np.float64)
-        keys = pdf[["conv_id", "_seg"]].to_records(index=False)
+        # integer factorization + lexsort + array-built output: the
+        # readable sort_values/to_records/per-segment-tuple form spent
+        # more wall time on pandas object plumbing than on the codec
+        codes, uniq = pd.factorize(pdf["conv_id"])
+        segv = pdf["_seg"].to_numpy(dtype=np.int64)
+        ts_ns = pdf["bucket_start"].to_numpy()
+        order = np.lexsort((ts_ns, segv, codes))
+        ts_us_all = ts_ns[order].astype("datetime64[us]").view("int64")
+        vals_all = pdf["_v"].to_numpy(dtype=np.float64)[order]
+        cc, ss = codes[order], segv[order]
         bounds = np.flatnonzero(
-            np.concatenate(([True], keys[1:] != keys[:-1], [True]))
-        )
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            payload = encode_segment(ts_us_all[a:b], vals_all[a:b])
-            out.append(
-                (
-                    pdf["conv_id"].iat[a],
-                    tier,
-                    pd.Timestamp(int(pdf["_seg"].iat[a]), unit="s"),
-                    b - a,
-                    payload,
-                    zlib.crc32(payload),
-                )
+            np.concatenate(
+                ([True], (cc[1:] != cc[:-1]) | (ss[1:] != ss[:-1]), [True])
             )
+        )
+        payloads = []
+        crcs = []
+        for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            p = encode_segment(ts_us_all[a:b], vals_all[a:b])
+            payloads.append(p)
+            crcs.append(zlib.crc32(p))
+        heads = bounds[:-1]
         return pd.DataFrame(
-            out,
-            columns=["conv_id", "tier", "segment_start", "n_points",
-                     "payload", "crc32"],
+            {
+                "conv_id": np.asarray(uniq)[cc[heads]],
+                "tier": tier,
+                "segment_start": pd.to_datetime(ss[heads], unit="s"),
+                "n_points": np.diff(bounds),
+                "payload": payloads,
+                "crc32": np.array(crcs, dtype=np.int64),
+            }
         )
 
     return df.groupBy("_grp").applyInPandas(enc, SEGMENT_SCHEMA)
@@ -126,26 +131,38 @@ def decode_payloads(segments: DataFrame) -> DataFrame:
 
     def dec(it):
         for pdf in it:
-            frames = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload)
-                if hasattr(r, "crc32") and zlib.crc32(payload) != r.crc32:
+            if len(pdf) == 0:
+                continue
+            has_crc = "crc32" in pdf.columns
+            crcs = pdf["crc32"].tolist() if has_crc else None
+            convs = pdf["conv_id"].tolist()
+            tiers = pdf["tier"].tolist()
+            ts_parts = []
+            val_parts = []
+            lens = []
+            for i, payload in enumerate(pdf["payload"]):
+                payload = bytes(payload)
+                if has_crc and zlib.crc32(payload) != crcs[i]:
                     raise ValueError(
                         f"payload corruption: crc mismatch for "
-                        f"{r.conv_id}/{r.tier}"
+                        f"{convs[i]}/{tiers[i]}"
                     )
                 ts_us, vals = decode_segment(payload)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": r.conv_id,
-                            "tier": r.tier,
-                            "bucket_start": ts_us.view("datetime64[us]"),
-                            "value": vals,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                ts_parts.append(ts_us)
+                val_parts.append(vals)
+                lens.append(len(ts_us))
+            # ONE output frame per Arrow batch (a frame per segment +
+            # concat cost ~0.5 ms/segment of pure pandas overhead)
+            reps = np.array(lens)
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(np.asarray(convs, dtype=object), reps),
+                    "tier": np.repeat(np.asarray(tiers, dtype=object), reps),
+                    "bucket_start": np.concatenate(ts_parts).view(
+                        "datetime64[us]"
+                    ),
+                    "value": np.concatenate(val_parts),
+                }
+            )
 
     return segments.mapInPandas(dec, POINT_SCHEMA)

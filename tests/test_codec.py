@@ -42,8 +42,10 @@ def test_regular_cadence_compresses():
     ts = 1735689600_000000 + np.arange(n, dtype=np.int64) * 60_000_000
     vals = np.full(n, 42.0)
     p = _roundtrip(ts, vals)
-    # constant cadence + constant value → ~1 bit/point each stream
-    assert len(p) < 12 + 8 * 4 + n // 2
+    # constant cadence + constant value → pure control bits: 3 (ts
+    # class code) + 2 (value code) per point in the section-wise
+    # layout, plus fixed header/anchor sections and per-section padding
+    assert len(p) < 12 + 8 * 6 + (5 * n) // 8 + 8
 
 
 def test_nan_runs_and_specials():
