@@ -7,13 +7,16 @@ is real and tested. Decode comes in two flavors behind one seam:
 
 - :func:`media_decoder` — REAL decoders for the formats parseable with
   stdlib + NumPy alone: binary PPM images (decode + nearest-neighbor
-  :func:`resize_images` + re-encode) and PCM-16 WAV audio. Exercised
-  end-to-end through ``extract_features`` in tests.
+  :func:`resize_images` + re-encode), PCM-16 WAV audio, and
+  uncompressed RIFF/AVI video (:func:`decode_avi_frames` container
+  walker + DIB frame math, with :func:`sample_frames` emitting real
+  PPM frame payloads). Exercised end-to-end through
+  ``extract_features`` in tests.
 - :func:`_decode_stub` — deterministic fake for formats that need
   external libraries (PNG/JPEG/MP3/MP4: PIL/librosa/ffmpeg are absent
   in this container); a real deployment passes its own callable and no
-  Spark plumbing changes. Video decode raises where an ffmpeg-class
-  container parser would plug in.
+  Spark plumbing changes. Compressed video raises where an
+  ffmpeg-class parser would plug in.
 
 Scale notes: media rows are wide (payload bytes dominate); stages use
 ``mapInPandas`` (streaming iterator — bounded memory per batch, no
@@ -24,6 +27,7 @@ task never holds more than ``target_mb`` of payload at once.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -142,6 +146,107 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run;
+    chunks are padded to even sizes."""
+    i = start
+    while i + 8 <= end:
+        fourcc = data[i:i + 4]
+        (size,) = struct.unpack("<I", data[i + 4:i + 8])
+        yield fourcc, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI (RIFF / 'DIB ' 24-bit frames) → ((n, h, w, 3)
+    uint8 RGB frames, fps). Pure stdlib struct + NumPy — the container
+    math (RIFF walking, DIB bottom-up BGR rows, 4-byte row stride) is
+    exactly what an ffmpeg-class library would hide; compressed codecs
+    still raise at this seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(
+            "not an uncompressed AVI (RIFF) payload — other containers "
+            "need an ffmpeg-class decoder"
+        )
+    w = h = n_frames = 0
+    usec_per_frame = 0
+    frame_chunks: list[bytes] = []
+
+    def walk(a: int, b: int) -> None:
+        nonlocal w, h, n_frames, usec_per_frame
+        for fourcc, s, size in _riff_chunks(payload, a, b):
+            if fourcc == b"LIST":
+                walk(s + 4, s + size)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                (usec_per_frame,) = struct.unpack("<I", payload[s:s + 4])
+                n_frames, = struct.unpack("<I", payload[s + 16:s + 20])
+                w, h = struct.unpack("<II", payload[s + 32:s + 40])
+            elif fourcc == b"strf" and size >= 40:
+                bitcount, compression = struct.unpack(
+                    "<HI", payload[s + 14:s + 20]
+                )
+                if bitcount != 24 or compression != 0:
+                    raise NotImplementedError(
+                        "compressed/non-24-bit AVI needs an ffmpeg-class "
+                        "decoder"
+                    )
+            elif fourcc[2:] in (b"db", b"dc"):
+                frame_chunks.append(payload[s:s + size])
+
+    walk(12, len(payload))
+    if not (w and h and frame_chunks):
+        raise ValueError("AVI payload missing headers or frames")
+    stride = (3 * w + 3) & ~3
+    frames = np.empty((len(frame_chunks), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frame_chunks):
+        rows = np.frombuffer(raw, dtype=np.uint8, count=h * stride)
+        bgr = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+        frames[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    fps = 1e6 / usec_per_frame if usec_per_frame else 25.0
+    return frames, fps
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\0" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def encode_avi_rgb(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI writer ((n, h, w, 3) uint8 RGB →
+    RIFF/'DIB ' container) — the synthesis twin of
+    :func:`decode_avi_frames` for tests and fixtures."""
+    n, h, w, _ = frames.shape
+    stride = (3 * w + 3) & ~3
+    movi = bytearray()
+    for f in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = f[::-1, :, ::-1].reshape(h, 3 * w)
+        movi += _chunk(b"00db", rows.tobytes())
+    avih = struct.pack(
+        "<14I", int(1e6 / fps), stride * h * fps, 0, 0, n, 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, stride * h, 0
+        ) + struct.pack("<I4H", 0, 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _riff_list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    body = b"AVI " + hdrl + _riff_list(b"movi", bytes(movi))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _segment_stats(x: np.ndarray, dim: int, rms: bool) -> np.ndarray:
     """dim equal segments → per-segment mean (or RMS); pads short input."""
     if x.size == 0:
@@ -159,15 +264,19 @@ def _segment_stats(x: np.ndarray, dim: int, rms: bool) -> np.ndarray:
 
 def media_decoder(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
     """REAL decoder for the formats this sandbox can parse without
-    external libraries: binary PPM images and PCM-16 WAV audio.
+    external libraries: binary PPM images, PCM-16 WAV audio, and
+    uncompressed RIFF/AVI video.
 
     - image: PPM → grayscale (channel mean) → ``dim`` segment means / 255
     - audio: WAV → mono samples → ``dim`` per-segment RMS values
+    - video: AVI → per-frame grayscale means (a brightness time series)
+      → ``dim`` segment means / 255
 
-    Video needs a container parser (ffmpeg-class) — not available here,
-    so it raises exactly where a real deployment plugs one in. This is
-    the non-stub path through the same ``extract_features`` seam the
-    deterministic ``_decode_stub`` exercises.
+    Compressed containers (MP4/H.264 etc.) still need an ffmpeg-class
+    library and raise at this seam; a real deployment swaps in its own
+    callable with no Spark plumbing changes. This is the non-stub path
+    through the same ``extract_features`` seam the deterministic
+    ``_decode_stub`` exercises.
     """
     if kind == "image":
         img = decode_ppm(bytes(payload)).astype(np.float64)
@@ -176,8 +285,12 @@ def media_decoder(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
     if kind == "audio":
         x, _ = decode_wav_pcm16(bytes(payload))
         return _segment_stats(x, dim, rms=True)
+    if kind == "video":
+        frames, _ = decode_avi_frames(bytes(payload))
+        series = frames.astype(np.float64).mean(axis=(1, 2, 3)) / 255.0
+        return _segment_stats(series, dim, rms=False)
     raise NotImplementedError(
-        f"no in-sandbox decoder for media kind {kind!r} (video needs ffmpeg)"
+        f"no in-sandbox decoder for media kind {kind!r}"
     )
 
 
@@ -245,8 +358,12 @@ def extract_features(
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """video → frame rows (UDTF-style explode inside mapInPandas).
 
-    Frame decode is stubbed as byte-slicing; the row-explosion shape,
-    schema, and per-batch memory behavior are the real thing.
+    RIFF/AVI payloads take the REAL path: container decode, frames
+    sampled every ``every_ms`` by the stream's fps, each emitted as a
+    PPM payload (consumable by :func:`decode_ppm` / the image stages).
+    Non-RIFF payloads keep the deterministic byte-slicing stub — the
+    row-explosion shape, schema, and per-batch memory behavior are
+    identical either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -256,8 +373,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 if r.kind != "video":
                     continue
-                n_frames = max(int((r.duration_ms or 0) // every_ms), 1)
                 payload = bytes(r.payload)
+                if payload[:4] == b"RIFF":
+                    frames, fps = decode_avi_frames(payload)
+                    step = max(int(round(every_ms * fps / 1000.0)), 1)
+                    for j, i in enumerate(range(0, len(frames), step)):
+                        out["media_id"].append(r.media_id)
+                        out["frame_idx"].append(j)
+                        out["frame_payload"].append(encode_ppm(frames[i]))
+                    continue
+                n_frames = max(int((r.duration_ms or 0) // every_ms), 1)
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     out["media_id"].append(r.media_id)
@@ -284,14 +409,26 @@ def repartition_by_bytes(
 
 def synthetic_real_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Media table whose payloads the REAL :func:`media_decoder` can
-    parse: random-noise PPM images and sine-wave PCM-16 WAVs."""
+    parse: random-noise PPM images, sine-wave PCM-16 WAVs, and
+    random-noise uncompressed AVIs."""
     import io
     import wave
 
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 2:
+            n_frames = int(rng.integers(4, 12))
+            h, w = 16, 16
+            fps = 8
+            frames = rng.integers(
+                0, 256, size=(n_frames, h, w, 3), dtype=np.uint8
+            )
+            rows.append(
+                (i, "video", encode_avi_rgb(frames, fps=fps),
+                 "video/x-msvideo", w, h, int(n_frames * 1000 / fps))
+            )
+        elif i % 2 == 0:
             h = int(rng.integers(8, 64))
             w = int(rng.integers(8, 64))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -229,3 +229,74 @@ def test_video_raises_through_seam(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with _pytest.raises(Exception, match="ffmpeg"):
         extract_features(media, decoder=media_decoder).collect()
+
+
+def test_avi_roundtrip_known_frames():
+    """encode_avi_rgb ∘ decode_avi_frames = identity on frames and fps,
+    including non-multiple-of-4 widths (DIB row stride padding)."""
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(6, 9, 13, 3), dtype=np.uint8)
+    payload = encode_avi_rgb(frames, fps=5)
+    got, fps = decode_avi_frames(payload)
+    assert got.shape == (6, 9, 13, 3)
+    assert np.array_equal(got, frames)
+    assert fps == 5.0
+
+
+def test_video_features_through_seam(spark):
+    """REAL video path end-to-end: AVI rows through extract_features
+    produce brightness features with a checkable known value."""
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi_rgb,
+        extract_features,
+        media_decoder,
+        synthetic_real_media,
+    )
+
+    # 8 constant frames ramping 0..224 → segment means known exactly
+    frames = np.stack(
+        [np.full((4, 4, 3), v, dtype=np.uint8) for v in range(0, 256, 32)]
+    )
+    rows = [(500, "video", encode_avi_rgb(frames, fps=4),
+             "video/x-msvideo", 4, 4, 2000)]
+    const = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = synthetic_real_media(spark, n=12).unionByName(const)
+    out = {r.media_id: r for r in
+           extract_features(media, dim=8, decoder=media_decoder).collect()}
+    feat = np.array(out[500].feature, dtype=np.float64)
+    assert np.allclose(feat, np.arange(0, 256, 32) / 255.0, atol=1e-6)
+    kinds = {r.kind for r in out.values()}
+    assert kinds == {"image", "audio", "video"}
+    assert all(len(r.feature) == 8 for r in out.values())
+
+
+def test_sample_frames_real_avi(spark):
+    """AVI rows explode into REAL frames: correct count for the fps /
+    every_ms combination, each payload a decodable PPM equal to the
+    source frame."""
+    from ecov003_l2t_stars_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        encode_avi_rgb,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(10, 6, 6, 3), dtype=np.uint8)
+    rows = [(1, "video", encode_avi_rgb(frames, fps=10),
+             "video/x-msvideo", 6, 6, 1000)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # fps=10, every_ms=500 → every 5th frame → frames 0 and 5
+    got = sorted(
+        sample_frames(media, every_ms=500).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 1]
+    assert np.array_equal(decode_ppm(bytes(got[0].frame_payload)), frames[0])
+    assert np.array_equal(decode_ppm(bytes(got[1].frame_payload)), frames[5])
