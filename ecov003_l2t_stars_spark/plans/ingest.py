@@ -117,13 +117,16 @@ def ingest(
     batch_id: str,
     n_buckets: int = 32,
     arrived_at: dt.datetime | None = None,
+    compact_max_files: int | None = 64,
 ) -> dict:
     """Register one upstream batch in the manifest. Idempotent.
 
     Returns ``{"skipped": True}`` when (source, batch_id) is already
     manifested (re-delivery of the same granule), else per-batch stats.
     The manifest write is a per-conv_bucket aggregate of the batch — no
-    data rows reach the driver.
+    data rows reach the driver. ``compact_max_files`` enforces the
+    bookkeeping small-file bound after the append
+    (:func:`maybe_compact_bookkeeping`; None disables).
     """
     arrived_at = arrived_at or dt.datetime.now(dt.timezone.utc).replace(
         tzinfo=None
@@ -168,6 +171,10 @@ def ingest(
         F.sum("rows_ingested").alias("rows"),
         F.count(F.lit(1)).alias("buckets"),
     ).collect()[0]
+    if compact_max_files is not None:
+        maybe_compact_bookkeeping(
+            spark, manifest_dir, max_files=compact_max_files
+        )
     return {
         "skipped": False,
         "source": source,
@@ -223,6 +230,34 @@ def compact_bookkeeping(
         df.coalesce(target_files).write.mode("overwrite").parquet(str(path))
         df.unpersist()
     return out
+
+
+def _file_count(path: Path) -> int:
+    return (
+        sum(1 for _ in path.glob("*.parquet")) if path.exists() else 0
+    )
+
+
+def maybe_compact_bookkeeping(
+    spark: SparkSession,
+    manifest_dir: str,
+    max_files: int = 64,
+    target_files: int = 1,
+) -> dict[str, int] | None:
+    """Lifecycle hook enforcing the small-file bound: compact when
+    either bookkeeping table has fragmented past ``max_files`` on-disk
+    parquet files. The skip path is a metadata-only directory listing —
+    no data is read — so calling this after every ingest batch is
+    cheap, and the file count stays ≤ max_files + appends-per-batch by
+    induction. Returns :func:`compact_bookkeeping`'s row counts when a
+    compaction ran, else None."""
+    n = max(
+        _file_count(_manifest_path(manifest_dir)),
+        _file_count(_attempts_path(manifest_dir)),
+    )
+    if n <= max_files:
+        return None
+    return compact_bookkeeping(spark, manifest_dir, target_files)
 
 
 def retry_candidates(

@@ -263,3 +263,37 @@ def test_availability_gated_rollup(spark, tmp_path):
         ["conv_id", "turn_idx"]
     ).count()
     assert n_rolled == n_input
+
+
+def test_compaction_enforced_across_many_appends(spark, tmp_path):
+    """The lifecycle hook keeps bookkeeping file counts bounded: 50
+    attempt appends + periodic ingests never leave more than
+    max_files + a batch of fragments on disk, and no rows are lost."""
+    from pathlib import Path
+
+    from ecov003_l2t_stars_spark.plans.ingest import (
+        maybe_compact_bookkeeping,
+        read_attempts,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    write_transcripts_parquet(src, GenSpec(n_convs=10))
+    mdir = str(tmp_path / "m")
+    max_files = 8
+    ingest(spark, src, mdir, "alpha", "b0", N_BUCKETS, T_ARRIVE,
+           compact_max_files=max_files)
+    for i in range(50):
+        record_attempt(spark, mdir, "alpha", f"b{i}", ok=(i % 3 == 0),
+                       error=None if i % 3 == 0 else "latency",
+                       attempted_at=T_ARRIVE)
+        # the batch-level lifecycle event enforces the bound
+        maybe_compact_bookkeeping(spark, mdir, max_files=max_files)
+        n_files = sum(
+            1 for _ in (Path(mdir) / "attempt_log").glob("*.parquet")
+        )
+        assert n_files <= max_files + 1
+    att = read_attempts(spark, mdir)
+    assert att.count() == 50
+    # ordinals survive compaction: re-deliveries of the same batch keep
+    # distinct attempt numbers
+    assert att.where(F.col("attempt") != 1).count() == 0
