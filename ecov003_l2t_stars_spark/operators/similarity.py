@@ -146,6 +146,21 @@ def _cell_col(df: DataFrame, cents: np.ndarray, vec_col: str) -> Column:
     return F.element_at(probe_cells_col(df, cents, vec_col, 1), 1)
 
 
+def auto_ivf_params(n_vectors: int, fit_points_per_cell: int = 256
+                    ) -> tuple[int, int]:
+    """Production IVF sizing: n_centroids ≈ √N (the standard IVF
+    balance point — √N cells × √N vectors/cell keeps probe fan-out and
+    per-cell re-rank both O(√N)), and a ``sample_mod`` that caps the
+    k-means fit sample at ~``fit_points_per_cell``·n_centroids points
+    (at 100 TB you fit the quantizer on a hash-sample and assign
+    everything). Returns (n_centroids, sample_mod)."""
+    import math
+
+    n_centroids = max(math.isqrt(max(n_vectors, 1)), 1)
+    sample_mod = max(n_vectors // (fit_points_per_cell * n_centroids), 1)
+    return n_centroids, sample_mod
+
+
 def _kmeans_fit(
     emb: DataFrame,
     id_col: str,
@@ -216,11 +231,11 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     n_probe: int = 3,
     n_iters: int = 3,
     dim: int = 64,
-    sample_mod: int = 1,
+    sample_mod: int | None = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer buckets the
     vectors; each query probes its ``n_probe`` nearest cells and is
@@ -239,7 +254,15 @@ def ivf_topk(
     memory is bounded by cell size; skewed k-means cells would need a
     cell-size cap at production scale. Recall is measured against the
     brute-force baseline in tests, the same contract as ``lsh_topk``.
+
+    ``n_centroids=None`` (or ``sample_mod=None``) sizes the quantizer
+    from the data via :func:`auto_ivf_params` — n_centroids ≈ √N with
+    the fit sample capped — at the cost of one count job.
     """
+    if n_centroids is None or sample_mod is None:
+        auto_c, auto_m = auto_ivf_params(emb.count())
+        n_centroids = auto_c if n_centroids is None else n_centroids
+        sample_mod = auto_m if sample_mod is None else sample_mod
     cents = _kmeans_fit(emb, id_col, vec_col, n_centroids, n_iters, dim,
                         sample_mod)
 

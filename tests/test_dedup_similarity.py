@@ -527,3 +527,71 @@ def test_alternating_star_round_count(spark):
     assert {r.u for r in got} == {100}
     assert {r.v for r in got} == set(range(101, 131))
     assert rounds <= math.ceil(math.log2(30)) + 2
+
+
+def test_auto_ivf_params():
+    from ecov003_l2t_stars_spark.operators.similarity import auto_ivf_params
+
+    assert auto_ivf_params(0) == (1, 1)
+    assert auto_ivf_params(500) == (22, 1)
+    nc, sm = auto_ivf_params(10**8)
+    assert nc == 10_000
+    assert sm == 10**8 // (256 * nc)
+
+
+def test_ivf_quantizer_4096_cells(spark):
+    """VERDICT r3 #8 done-criterion: a production-shaped quantizer
+    (4096 cells x dim 64, auto-sized fit sample) on a 20k synthetic
+    corpus — plan stays bounded (independent of cell count), assignment
+    is matmul-dominated (bounded wall), planted near-dup recall is 1.0
+    through the full ivf_topk path."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        _kmeans_fit,
+        ivf_topk,
+        probe_cells_col,
+    )
+
+    rng = np.random.default_rng(42)
+    n, dim = 20_000, 64
+    base = rng.normal(size=(n, dim))
+    # plant 50 near-identical pairs: vec i and its twin n+i
+    twins = base[:50] + rng.normal(scale=1e-3, size=(50, dim))
+    allv = np.concatenate([base, twins])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(allv)),
+         "embedding": [r.astype(np.float32).tolist() for r in allv]}
+    )
+    emb = spark.createDataFrame(pdf).repartition(8)
+
+    t0 = time.perf_counter()
+    cents = _kmeans_fit(emb, "vec_id", "embedding", 4096, 1, dim,
+                        sample_mod=1)
+    fit_s = time.perf_counter() - t0
+    assert cents.shape == (4096, dim)
+    assert np.isfinite(cents).all()
+
+    probed = emb.withColumn(
+        "_p", probe_cells_col(emb, cents, "embedding", 8)
+    )
+    plan = probed._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, len(plan)  # no literal centroid arrays
+
+    t0 = time.perf_counter()
+    assert probed.select("vec_id").count() == len(allv)
+    assign_s = time.perf_counter() - t0
+    # matmul-dominated: 20k rows x 4096 cells x 64 dims is ~5 GFLOP of
+    # BLAS — minutes would mean a per-row/plan blowup came back
+    assert assign_s < 60, assign_s
+    assert fit_s < 120, fit_s
+
+    top = ivf_topk(
+        emb, k=1, n_centroids=4096, n_probe=8, n_iters=1, dim=dim,
+    ).where(F.col("vec_id") >= n)
+    got = {r.vec_id: r.neighbor_id for r in top.collect()}
+    hits = sum(1 for i in range(50) if got.get(n + i) == i)
+    assert hits == 50  # planted twins: recall 1.0 at production shape
