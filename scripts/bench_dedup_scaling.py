@@ -1,12 +1,14 @@
 """Sub-quadratic evidence for the dedup scale paths.
 
 Runs ``minhash_lsh_dedup`` and ``simhash_near_pairs`` on the sf0.1
-documents table at 1× and 4× corpus size, holding NEAR-DUP DENSITY
-constant (each replica's text is vowel-rotated per copy, so replicas
-are NOT near-dups of each other or of the originals — only the
-original corpus's true pairs exist at both sizes). A bucketed
-(sub-quadratic) plan should scale close to the 4× data growth; an
-all-pairs plan would scale ~16×.
+documents table at 1×, 4×, and 24× corpus size (5k → 120k docs),
+holding NEAR-DUP DENSITY constant (each replica's text is
+vowel-permuted per copy, so replicas are NOT near-dups of each other
+or of the originals — only the original corpus's true pairs exist at
+every size). A bucketed (sub-quadratic) plan should scale close to the
+data growth; an all-pairs plan scales with its square. The 24× point
+exists because at 20k docs fixed costs still dominate the rework'd
+pipeline — the slope claim needs a ≥100k-doc leg (VERDICT r3 #7).
 
 Usage: python scripts/bench_dedup_scaling.py  [sf_dir]
 Prints one JSON line; run on an otherwise idle machine.
@@ -41,30 +43,48 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import random
+
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     n_base = base.count()
 
-    # per-copy vowel rotations: deterministic text mutations that destroy
-    # shingle overlap with every other copy (keeps dup density constant)
-    rotations = ["aeiou", "eioua", "iouae", "ouaei"]
+    # per-copy letter permutations over a 9-char alphabet: deterministic
+    # text mutations that destroy shingle overlap with every other copy
+    # (keeps dup density constant across sizes). Lexicographic vowel
+    # permutations were NOT far enough apart — adjacent ones differed in
+    # 2 positions, making replicas near-dups of each other and inflating
+    # the mid-size leg — so each mapping must differ from every other in
+    # >= 6 of 9 positions.
+    alpha = "aeiounrst"
+    perms: list[str] = [alpha]
+    seed = 0
+    while len(perms) < 24:
+        seed += 1
+        cand = list(alpha)
+        random.Random(seed).shuffle(cand)
+        cand = "".join(cand)
+        if all(
+            sum(a != b for a, b in zip(cand, p)) >= 6 for p in perms
+        ):
+            perms.append(cand)
 
     def variant(i: int):
         return base.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            F.translate("text", "aeiou", rotations[i]).alias("text"),
+            F.translate("text", alpha, perms[i]).alias("text"),
         )
 
-    big = variant(0)
-    for i in range(1, 4):
-        big = big.unionByName(variant(i))
-    big = big.repartition(32).persist()
-    n_big = big.count()
+    def corpus(mult: int):
+        big = variant(0)
+        for i in range(1, mult):
+            big = big.unionByName(variant(i))
+        return big.repartition(32).persist()
 
     def timed(fn, df):
-        # warm-up + 2 timed runs, report the median-free min (noise only
-        # ever adds time)
+        # warm-up + 2 timed runs, report the min (noise only ever adds
+        # time)
         fn(df).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(2):
@@ -73,20 +93,30 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 2)
 
-    result = {"n_1x": n_base, "n_4x": n_big}
-    for name, fn in (
+    mults = [1, 4, 24]
+    result = {"n_docs": {m: n_base * m for m in mults}}
+    ops = (
         ("minhash_lsh", minhash_lsh_dedup),
         ("simhash", simhash_near_pairs),
-    ):
-        t1 = timed(fn, base)
-        t4 = timed(fn, big)
+    )
+    times: dict[str, dict[int, float]] = {name: {} for name, _ in ops}
+    for m in mults:
+        df = corpus(m)
+        df.count()
+        for name, fn in ops:
+            times[name][m] = timed(fn, df)
+        df.unpersist()
+    for name, _ in ops:
+        t = times[name]
         result[name] = {
-            "t_1x_s": t1,
-            "t_4x_s": t4,
-            "ratio": round(t4 / t1, 2),
-            "quadratic_would_be": 16.0,
+            **{f"t_{m}x_s": t[m] for m in mults},
+            # marginal slope over the data-proportional leg: fixed
+            # costs cancel between the two largest sizes
+            "ratio_4x_over_1x": round(t[4] / t[1], 2),
+            "ratio_24x_over_4x": round(t[24] / t[4], 2),
+            "data_growth_24_over_4": 6.0,
+            "quadratic_would_be_24_over_4": 36.0,
         }
-    big.unpersist()
     spark.stop()
     print(json.dumps(result))
 
