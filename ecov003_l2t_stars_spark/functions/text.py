@@ -351,7 +351,7 @@ def lang_id_self(docs: DataFrame, top_n: int = 200) -> DataFrame:
     # the ContextCleaner when the plan is dropped (persist would pin
     # them in the CacheManager across calls — session-lifetime leak)
     base = trigram_counts(norm, "_t", ("doc_id", "lang")).localCheckpoint(
-        eager=True
+        eager=False
     )
     counts = base.groupBy("lang", "tg").agg(F.sum("c").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))

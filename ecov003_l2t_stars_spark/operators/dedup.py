@@ -280,9 +280,9 @@ def _star_cap_sides(
         .where(F.col("_bsz") > bucket_cap)
         .drop("_bsz")
         # tiny by pigeonhole (≤ rows/cap buckets can be oversized);
-        # eager so both sides read materialized blocks, and the join
-        # below broadcasts it
-        .localCheckpoint(eager=True)
+        # lazily checkpointed — materialized by whichever side's
+        # broadcast builds first, reused by the other
+        .localCheckpoint(eager=False)
     )
     tagged = banded.join(F.broadcast(over), list(keys), "left")
     a_side = tagged.where(
@@ -338,7 +338,7 @@ def minhash_lsh_dedup(
     sigs = (
         minhash_signatures(docs, id_col, text_col, n_hashes, k)
         .where(F.col("_sig").isNotNull())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     est_min = int((threshold - 0.25) * n_hashes)
@@ -409,7 +409,7 @@ def minhash_lsh_dedup(
     screened = (
         paired.mapInPandas(_screen, f"doc_a {id_type}, doc_b {id_type}")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # shingle ONLY docs that survive the screen: char_shingles is the
@@ -431,7 +431,7 @@ def minhash_lsh_dedup(
         k,
         spread=False,  # joined input: the partition probe would force
         # AQE to run the whole screen pipeline at plan-BUILD time
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     joined = (
         screened.join(
             sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"),
@@ -540,7 +540,7 @@ def simhash_near_pairs(
     # localCheckpoint, not persist — cache blocks would be pinned until
     # an explicit unpersist (leak in long-lived sessions); checkpoint
     # blocks are freed by the ContextCleaner with the returned plan.
-    sigs = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
+    sigs = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     blocks = sigs.select(
         "doc_id",
         "simhash",

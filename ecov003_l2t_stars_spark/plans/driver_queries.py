@@ -238,7 +238,7 @@ def _gapfill_query(method: str):
         # obs) and the events aggregation would otherwise run twice
         # (rule 10). localCheckpoint so the blocks are ContextCleaner-
         # reclaimed instead of pinned in the CacheManager across calls
-        tier = _hourly_value_tier(spark, sf_dir).localCheckpoint(eager=True)
+        tier = _hourly_value_tier(spark, sf_dir).localCheckpoint(eager=False)
         filled = gap_fill(tier, "1h", value_cols=("value_sum",), method=method)
         return filled.select(
             F.col("conv_id").alias("user_id"),
