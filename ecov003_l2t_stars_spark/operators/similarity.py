@@ -236,6 +236,7 @@ def ivf_topk(
     n_iters: int = 3,
     dim: int = 64,
     sample_mod: int | None = 1,
+    cell_cap: int | None = 8192,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer buckets the
     vectors; each query probes its ``n_probe`` nearest cells and is
@@ -251,9 +252,13 @@ def ivf_topk(
     so candidate PAIRS never materialize as rows — the global re-rank
     sees at most n · n_probe · k rows (each member lives in exactly one
     cell, so per-cell winners are disjoint across probes). Per-task
-    memory is bounded by cell size; skewed k-means cells would need a
-    cell-size cap at production scale. Recall is measured against the
-    brute-force baseline in tests, the same contract as ``lsh_topk``.
+    memory is bounded by ``cell_cap``: members of a skewed k-means cell
+    are salted into ⌈size/cap⌉ shards and probes fan out to every shard
+    of a probed cell — each member is still scored exactly once, so the
+    result is IDENTICAL to the uncapped plan (pinned in tests), while a
+    degenerate cell costs probe duplication instead of an unbounded
+    matmul on one task. Recall is measured against the brute-force
+    baseline in tests, the same contract as ``lsh_topk``.
 
     ``n_centroids=None`` (or ``sample_mod=None``) sizes the quantizer
     from the data via :func:`auto_ivf_params` — n_centroids ≈ √N with
@@ -266,14 +271,21 @@ def ivf_topk(
     cents = _kmeans_fit(emb, id_col, vec_col, n_centroids, n_iters, dim,
                         sample_mod)
 
-    n = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
-    )
+    # members/probes are built from INDEPENDENT projections (fresh
+    # expression ids): with the cell-cap joins in both sides, a shared
+    # `n` makes the cogroup's analysis ambiguous (self-join check)
+    def _n() -> DataFrame:
+        return with_norm(emb, vec_col).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
+        )
+
     # members: each vector lives in its single nearest cell
-    members = n.withColumn("_cell", _cell_col(n, cents, "_v"))
+    n_m = _n()
+    members = n_m.withColumn("_cell", _cell_col(n_m, cents, "_v"))
     # probes: each query fans out to its n_probe nearest cells
-    probes = n.withColumn(
-        "_cell", F.explode(probe_cells_col(n, cents, "_v", n_probe))
+    n_p = _n()
+    probes = n_p.withColumn(
+        "_cell", F.explode(probe_cells_col(n_p, cents, "_v", n_probe))
     )
     id_type = emb.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -319,9 +331,45 @@ def ivf_topk(
             }
         )
 
+    keys = ["_cell"]
+    if cell_cap is not None:
+        # oversized-cell list is metadata-scale (≤ n/cap rows)
+        over = (
+            members.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_csz"))
+            .where(F.col("_csz") > cell_cap)
+            .select(
+                "_cell",
+                F.ceil(F.col("_csz") / cell_cap).cast("int").alias("_nsh"),
+            )
+            # eager: severs the shared lineage with `members` (the lazy
+            # form trips the ambiguous-self-join analyzer check), and
+            # the list is metadata-scale anyway
+            .localCheckpoint(eager=True)
+        )
+        members = (
+            members.join(F.broadcast(over), "_cell", "left")
+            .withColumn(
+                "_shard",
+                F.when(F.col("_nsh").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64("_id"), F.col("_nsh")).cast("int")
+                ),
+            )
+            .drop("_nsh")
+        )
+        probes = (
+            probes.join(F.broadcast(over), "_cell", "left")
+            .withColumn("_nsh", F.coalesce("_nsh", F.lit(1)))
+            .withColumn(
+                "_shard",
+                F.explode(F.sequence(F.lit(0), F.col("_nsh") - 1)),
+            )
+            .drop("_nsh")
+        )
+        keys = ["_cell", "_shard"]
     cand = (
-        probes.groupBy("_cell")
-        .cogroup(members.groupBy("_cell"))
+        probes.groupBy(*keys)
+        .cogroup(members.groupBy(*keys))
         .applyInPandas(cell_topk, out_schema)
     )
     w = Window.partitionBy("vec_id").orderBy(

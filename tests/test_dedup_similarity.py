@@ -595,3 +595,54 @@ def test_ivf_quantizer_4096_cells(spark):
     got = {r.vec_id: r.neighbor_id for r in top.collect()}
     hits = sum(1 for i in range(50) if got.get(n + i) == i)
     assert hits == 50  # planted twins: recall 1.0 at production shape
+
+
+def test_ivf_cell_cap_is_exactness_preserving(spark):
+    """A degenerate k-means cell (4k near-identical vectors collapse
+    into one cell) gets salted into shards — the capped plan's output
+    must be IDENTICAL to the uncapped one (every member scored exactly
+    once), with per-shard matmuls bounded by the cap."""
+    import numpy as np
+    import pandas as pd
+
+    from ecov003_l2t_stars_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    center = rng.normal(size=64)
+    clustered = center + rng.normal(scale=0.01, size=(4000, 64))
+    spread = rng.normal(size=(200, 64))
+    allv = np.concatenate([clustered, spread])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(allv)),
+         "embedding": [r.astype(np.float32).tolist() for r in allv]}
+    )
+    emb = spark.createDataFrame(pdf).repartition(8)
+
+    kw = dict(k=3, n_centroids=8, n_probe=2, n_iters=1, dim=64)
+    capped = ivf_topk(emb, cell_cap=256, **kw)
+    uncapped = ivf_topk(emb, cell_cap=None, **kw)
+    a = sorted((r.vec_id, r.neighbor_id, r.rank) for r in capped.collect())
+    b = sorted((r.vec_id, r.neighbor_id, r.rank) for r in uncapped.collect())
+    assert a == b
+    assert len(a) == len(allv) * 3
+
+
+def test_simhash_bucket_cap_star_connectivity(spark):
+    """SimHash block buckets above the cap degrade to star pairing but
+    stay connected (same contract as the minhash cap)."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        dup_clusters,
+        simhash_near_pairs,
+    )
+
+    text = "the same boilerplate text appears in every document here " * 3
+    rows = [(i, text) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+    pairs = simhash_near_pairs(df, bucket_cap=100)
+    got = pairs.collect()
+    # identical signatures → all 4 blocks are one degenerate bucket
+    # each → star per block, distinct across blocks: m-1 pairs
+    assert len(got) == 299
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in got)
+    comp = dup_clusters(pairs)
+    assert {r.cluster_id for r in comp.collect()} == {0}
