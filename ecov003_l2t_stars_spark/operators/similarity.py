@@ -170,6 +170,22 @@ def _kmeans_fit(
     dim: int,
     sample_mod: int = 1,
 ) -> np.ndarray:
+    """Back-compat wrapper: centroids only."""
+    cents, _ = _kmeans_fit_counts(
+        emb, id_col, vec_col, n_centroids, n_iters, dim, sample_mod
+    )
+    return cents
+
+
+def _kmeans_fit_counts(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    n_iters: int,
+    dim: int,
+    sample_mod: int = 1,
+) -> tuple[np.ndarray, dict[int, int]]:
     """Lloyd's k-means with DataFrame ops; centroids live on the driver
     (n_centroids × dim — metadata-scale), assignments never do.
 
@@ -190,7 +206,7 @@ def _kmeans_fit(
 
     dim_avg = [
         F.avg(F.col("_v")[i].cast("double")).alias(f"c{i}") for i in range(dim)
-    ]
+    ] + [F.count(F.lit(1)).alias("_cnt")]
     init = (
         sample.withColumn(
             "_c", F.pmod(F.xxhash64("_id"), F.lit(n_centroids))
@@ -216,14 +232,20 @@ def _kmeans_fit(
                 rng.standard_normal(dim)
             )
 
+    counts = {int(r["_c"]): int(r["_cnt"]) for r in init}
     for _ in range(n_iters):
         assigned = sample.withColumn(
             "_c", _cell_col(sample, cents, "_v")
         )
         rows = assigned.groupBy("_c").agg(*dim_avg).collect()
+        counts = {}
         for r in rows:  # empty clusters keep their previous centroid
             cents[r["_c"]] = [r[f"c{i}"] for i in range(dim)]
-    return cents
+            counts[int(r["_c"])] = int(r["_cnt"])
+    # full-data cell-size ESTIMATE from the fit's own assignment counts
+    # (exact at sample_mod=1; scaled otherwise). Free — no extra job.
+    est = {c: n * sample_mod for c, n in counts.items()}
+    return cents, est
 
 
 def ivf_topk(
@@ -268,8 +290,9 @@ def ivf_topk(
         auto_c, auto_m = auto_ivf_params(emb.count())
         n_centroids = auto_c if n_centroids is None else n_centroids
         sample_mod = auto_m if sample_mod is None else sample_mod
-    cents = _kmeans_fit(emb, id_col, vec_col, n_centroids, n_iters, dim,
-                        sample_mod)
+    cents, cell_est = _kmeans_fit_counts(
+        emb, id_col, vec_col, n_centroids, n_iters, dim, sample_mod
+    )
 
     # members/probes are built from INDEPENDENT projections (fresh
     # expression ids): with the cell-cap joins in both sides, a shared
@@ -332,39 +355,41 @@ def ivf_topk(
         )
 
     keys = ["_cell"]
-    if cell_cap is not None:
-        # oversized-cell list is metadata-scale (≤ n/cap rows)
-        over = (
-            members.groupBy("_cell")
-            .agg(F.count(F.lit(1)).alias("_csz"))
-            .where(F.col("_csz") > cell_cap)
-            .select(
-                "_cell",
-                F.ceil(F.col("_csz") / cell_cap).cast("int").alias("_nsh"),
-            )
-            # eager: severs the shared lineage with `members` (the lazy
-            # form trips the ambiguous-self-join analyzer check), and
-            # the list is metadata-scale anyway
-            .localCheckpoint(eager=True)
+    oversized = (
+        {
+            c: -(-n // cell_cap)  # ceil
+            for c, n in cell_est.items()
+            if n > cell_cap
+        }
+        if cell_cap is not None
+        else {}
+    )
+    if oversized:
+        # shard counts come from the fit's own per-cell counts — no
+        # extra agg/joins, plan grows by O(#oversized) literals, and
+        # the zero-skew (common) case keeps the exact uncapped plan.
+        # A stale estimate only mis-sizes shards, never the result:
+        # each member lands in exactly one shard either way.
+        nsh_map = F.create_map(
+            *[F.lit(x) for c, k2 in oversized.items() for x in (c, k2)]
         )
-        members = (
-            members.join(F.broadcast(over), "_cell", "left")
-            .withColumn(
-                "_shard",
-                F.when(F.col("_nsh").isNull(), F.lit(0)).otherwise(
-                    F.pmod(F.xxhash64("_id"), F.col("_nsh")).cast("int")
+        members = members.withColumn(
+            "_shard",
+            F.when(
+                nsh_map[F.col("_cell")].isNotNull(),
+                F.pmod(F.xxhash64("_id"), nsh_map[F.col("_cell")]).cast(
+                    "int"
                 ),
-            )
-            .drop("_nsh")
+            ).otherwise(F.lit(0)),
         )
-        probes = (
-            probes.join(F.broadcast(over), "_cell", "left")
-            .withColumn("_nsh", F.coalesce("_nsh", F.lit(1)))
-            .withColumn(
-                "_shard",
-                F.explode(F.sequence(F.lit(0), F.col("_nsh") - 1)),
-            )
-            .drop("_nsh")
+        probes = probes.withColumn(
+            "_shard",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(nsh_map[F.col("_cell")], F.lit(1)) - 1,
+                )
+            ),
         )
         keys = ["_cell", "_shard"]
     cand = (
