@@ -383,6 +383,10 @@ class InMemoryFormat(TableFormat):
         snapshot = self.read(spark, path)
         kept = self._tuples(snapshot.where(~predicate))
         schema, old = self._current(path)
+        if len(kept) == len(old):
+            # nothing matched: no new snapshot (same as the parquet
+            # twin and Iceberg — an empty DELETE is not a commit)
+            return 0
         self._commit(path, schema, kept, expected_snapshot)
         return len(old) - len(kept)
 

@@ -339,3 +339,91 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert _rows_of(fmt.read(spark, p)) == before
     with pytest.raises(FileNotFoundError):
         fmt.read_as_of(spark, p, 0)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_formats_agree_under_random_programs(spark, tmp_path, seed):
+    """Differential check: a random program of write verbs leaves
+    SnapshotParquetFormat and InMemoryFormat with identical current
+    tables after every step, identical snapshot histories, and
+    identical time-travel reads at the end."""
+    import random
+
+    rng = random.Random(seed)
+    fmts = [
+        (SnapshotParquetFormat(), str(tmp_path / f"snap{seed}" / "t")),
+        (InMemoryFormat(), str(tmp_path / f"mem{seed}" / "t")),
+    ]
+
+    def batch(k):
+        rows = [
+            (f"k{rng.randint(0, 12)}", rng.randint(0, 3),
+             float(rng.randint(0, 99)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        # overwrite/merge need unique-ish keys per batch: dedup by key
+        seen, out = set(), []
+        for r in rows:
+            if r[0] not in seen:
+                seen.add(r[0])
+                out.append(r)
+        return spark.createDataFrame(
+            out, "key string, part int, val double"
+        )
+
+    # partitioned tables are driven by the three partition-shaped verbs
+    # (raw append targets FLAT state/bookkeeping tables in the engine —
+    # appending unpartitioned files into a partitioned parquet layout is
+    # ill-defined, so the contract does not mix them on one table)
+    rng2 = random.Random(seed + 1)
+    for step in range(10):
+        op = rng2.choice(["overwrite", "delete", "merge"])
+        df = batch(step)
+        thresh = float(rng2.randint(0, 99))
+        for fmt, path in fmts:
+            if op == "overwrite":
+                fmt.overwrite_partitions(df, path, "part")
+            elif op == "delete":
+                fmt.delete_where(
+                    spark, path, F.col("val") >= thresh, "part"
+                )
+            else:
+                fmt.merge_replace_keys(
+                    spark, path, df, df.select("key"),
+                    key_col="key", partition_col="part",
+                )
+        reads = [
+            _rows_of(fmt.read(spark, path))
+            if fmt.exists(spark, path) else []
+            for fmt, path in fmts
+        ]
+        assert reads[0] == reads[1], f"diverged at step {step} ({op})"
+    snaps = [fmt.snapshots(spark, path) for fmt, path in fmts]
+    # delete_where on a missing/empty-match table commits no snapshot
+    # in either format; histories must line up exactly
+    assert snaps[0] == snaps[1]
+    for sid in snaps[0]:
+        a = _rows_of(fmts[0][0].read_as_of(spark, fmts[0][1], sid))
+        b = _rows_of(fmts[1][0].read_as_of(spark, fmts[1][1], sid))
+        assert a == b, f"time travel diverged at snapshot {sid}"
+
+
+def test_formats_agree_append_only(spark, tmp_path):
+    """Flat append-only tables (the state/bookkeeping shape): both
+    snapshot formats agree step-by-step and across history."""
+    fmts = [
+        (SnapshotParquetFormat(), str(tmp_path / "snap_app" / "t")),
+        (InMemoryFormat(), str(tmp_path / "mem_app" / "t")),
+    ]
+    for step in range(5):
+        df = spark.createDataFrame(
+            [(step, f"v{step}", float(step))], "i int, s string, v double"
+        )
+        for fmt, path in fmts:
+            fmt.append(df, path)
+        reads = [_rows_of(fmt.read(spark, path)) for fmt, path in fmts]
+        assert reads[0] == reads[1]
+    for sid in range(5):
+        a = _rows_of(fmts[0][0].read_as_of(spark, fmts[0][1], sid))
+        b = _rows_of(fmts[1][0].read_as_of(spark, fmts[1][1], sid))
+        assert a == b and len(a) == sid + 1
