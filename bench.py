@@ -85,6 +85,9 @@ def main() -> None:
         "cosine_topk",
         "embed_near_pairs",
         "dedup_corpus",
+        # composition row: re-runs the minhash pipeline + components
+        # that dup_clusters already times
+        "curate_corpus",
     }
 
     # --- driver oracle queries over the sf tables -------------------------

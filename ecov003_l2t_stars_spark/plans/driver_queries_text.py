@@ -485,6 +485,114 @@ _DEDUP_CORPUS_ORACLE = """
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus CURATION as one adjudicated query —
+    the composition a 100-TB data pipeline actually runs:
+
+    1. quality gate: frozen quality_score >= 0.5 (bit-stable doubles on
+       both engines, so the float filter cannot flake the row set),
+    2. exact dedup: canonical min doc_id per identical text (also the
+       precondition that keeps LSH band buckets un-degenerate),
+    3. near-dup removal: MinHash+LSH pairs → connected components →
+       each cluster keeps its canonical doc.
+
+    Output: surviving (doc_id, n_chars, quality). Every stage is also
+    individually adjudicated (text_quality / dedup_exact /
+    minhash_lsh_pairs / dup_clusters / dedup_corpus); this row checks
+    the composition."""
+    from pyspark.sql import Window
+
+    from ecov003_l2t_stars_spark.functions.text import quality_score
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_lsh_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    kept = docs.where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = dedup_corpus(uniq, minhash_lsh_dedup(uniq))
+    return out.select("doc_id", "n_chars", "quality")
+
+
+_CURATE_ORACLE = """
+    WITH RECURSIVE qbase AS (
+        SELECT doc_id, text, n_chars,
+            string_split_regex(trim(text), ' +') AS toks,
+            regexp_replace(text, '[^\\w\\s]', '', 'g') AS no_punct
+        FROM documents
+    ), qm AS (
+        SELECT doc_id, text, n_chars,
+            CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END
+                AS n_tokens,
+            CASE WHEN len(text) > 0 THEN
+                CAST(len(text) - len(no_punct) AS DOUBLE)
+                    / CAST(len(text) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+            CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                    t -> t IN ('the','a','and','of','to','in','is','on',
+                               'for','with'))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio
+        FROM qbase
+    ), scored AS (
+        SELECT doc_id, text, n_chars,
+            CAST(0.4 AS DOUBLE)
+                * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+            + CAST(0.3 AS DOUBLE) * (1.0 - punct_ratio)
+            + CAST(0.3 AS DOUBLE) * stopword_ratio AS quality
+        FROM qm
+    ), kept AS (
+        SELECT * FROM scored WHERE quality >= 0.5
+    ), uniq AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT text, min(doc_id) AS mid FROM kept GROUP BY text) u
+          ON k.doc_id = u.mid
+    ), sh AS (
+        SELECT doc_id,
+            list_distinct(list_transform(
+                range(1, greatest(len(text) - 4, 1) + 1),
+                i -> substr(text, CAST(i AS INT), 5))) AS s
+        FROM uniq
+    ), sz AS (
+        SELECT doc_id, len(s) AS n FROM sh
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT da AS a, db AS b
+        FROM inter
+        JOIN sz na ON na.doc_id = da
+        JOIN sz nb ON nb.doc_id = db
+        WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+    ), e AS (
+        SELECT a AS src, b AS dst FROM p
+        UNION
+        SELECT b AS src, a AS dst FROM p
+    ), r AS (
+        SELECT src AS node, src AS label FROM e
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM r JOIN e ON e.src = r.node
+    ), drop_set AS (
+        SELECT node FROM r GROUP BY node HAVING min(label) <> node
+    )
+    SELECT doc_id, n_chars, quality FROM uniq
+    WHERE doc_id NOT IN (SELECT node FROM drop_set)
+"""
+
+
 def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, oracle-checked): every
     (vec_a < vec_b) with cosine >= 0.42 — the threshold sits just under
@@ -595,6 +703,7 @@ QUERIES_TEXT = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dup_clusters": q_dup_clusters,
     "dedup_corpus": q_dedup_corpus,
+    "curate_corpus": q_curate_corpus,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "embed_near_pairs": q_embed_near_pairs,
@@ -632,6 +741,7 @@ ORACLE_SQL_TEXT = {
     "minhash_lsh_pairs": _JACCARD_ORACLE,
     "dup_clusters": _DUP_CLUSTERS_ORACLE,
     "dedup_corpus": _DEDUP_CORPUS_ORACLE,
+    "curate_corpus": _CURATE_ORACLE,
     "cosine_topk": _COSINE_ORACLE,
     "embed_near_pairs": _embed_pairs_oracle(),
     "text_quality": _TEXT_QUALITY_ORACLE,
