@@ -93,15 +93,17 @@ def main() -> None:
     # --- driver oracle queries over the sf tables -------------------------
     from ecov003_l2t_stars_spark.plans.driver_queries_text import (
         QUERIES_TEXT,
+        q_ann_ivf_pq_topk_raw,
         q_ann_ivf_topk_raw,
         q_embed_dup_lsh_raw,
     )
 
     all_queries = {**QUERIES, **QUERIES_TEXT}
-    # the driver-adjudicated forms of these two fold in their quadratic
+    # the driver-adjudicated forms of these fold in their quadratic
     # exact twins (containment + recall-floor verification, sf0.01-sized
     # by design); bench times the approximate SCALE paths themselves
     all_queries["ann_ivf_topk"] = q_ann_ivf_topk_raw
+    all_queries["ann_ivf_pq_topk"] = q_ann_ivf_pq_topk_raw
     all_queries["embed_dup_lsh"] = q_embed_dup_lsh_raw
     timings_min: dict[str, float] = {}
     for name, fn in all_queries.items():

@@ -611,3 +611,230 @@ def embedding_near_dup_lsh(
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cosine").alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the MEMORY tier of the ANN stack (IVF-PQ).
+# A 64-dim float32 vector is 256 bytes; its PQ code is m bytes (m=8 →
+# 32×). Candidates inside probed IVF cells are pre-selected by
+# asymmetric distance (exact query-to-codebook sub-distances, table
+# lookups over the codes), and only the top `rerank` survivors get the
+# exact-cosine re-rank — at 10^9 vectors the full-precision vectors
+# live in storage and only codes + codebooks need memory.
+# ---------------------------------------------------------------------------
+def pq_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    nbits: int = 8,
+    n_iters: int = 8,
+    sample_cap: int = 65_536,
+) -> np.ndarray:
+    """Fit per-subspace codebooks: (m, 2^nbits, dim/m), driver-side
+    Lloyd on a deterministic hash-sample of NORMALIZED vectors
+    (codes then approximate cosine via L2: |a-b|² = 2-2cos on unit
+    vectors). Codebooks are metadata-scale (m·2^nbits·dsub doubles);
+    the sample is capped like the IVF quantizer's. Deterministic: rows
+    sorted by id, round-robin init, no RNG over data."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    n = emb.count()
+    mod = max(n // sample_cap, 1)
+    s = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if mod > 1:
+        s = s.where(F.pmod(F.xxhash64("_id"), F.lit(mod)) == 0)
+    rows = sorted(s.collect(), key=lambda r: r["_id"])
+    if not rows:
+        raise ValueError("pq_fit sample is empty")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    ksub, dsub = 1 << nbits, dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    idx_mod = np.arange(len(X)) % ksub
+    for sub in range(m):
+        Xs = np.ascontiguousarray(X[:, sub * dsub:(sub + 1) * dsub])
+        gmean = Xs.mean(axis=0)
+        cents = np.empty((ksub, dsub))
+        for c in range(ksub):
+            sel = Xs[idx_mod == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+            else:
+                rng = np.random.default_rng(c)
+                cents[c] = gmean + 1e-3 * rng.standard_normal(dsub)
+        for _ in range(n_iters):
+            d = (
+                (Xs * Xs).sum(axis=1, keepdims=True)
+                - 2.0 * (Xs @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d, axis=1)
+            for c in np.unique(assign):
+                cents[c] = Xs[assign == c].mean(axis=0)
+        books[sub] = cents
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _code array<smallint>): per-subspace nearest-codeword ids of
+    the NORMALIZED vector — one broadcast-NumPy pandas UDF, m bytes of
+    information per vector."""
+    m, ksub, dsub = books.shape
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(books)
+    )
+
+    @pandas_udf("array<smallint>")
+    def _enc(v: pd.Series) -> pd.Series:
+        B = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(X), m), dtype=np.int16)
+        for sub in range(m):
+            Xs = X[:, sub * dsub:(sub + 1) * dsub]
+            C = B[sub]
+            d = (
+                (Xs * Xs).sum(axis=1, keepdims=True)
+                - 2.0 * (Xs @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            codes[:, sub] = np.argmin(d, axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return emb.select(
+        F.col(id_col).alias("_id"), _enc(F.col(vec_col)).alias("_code")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int | None = 8,
+    n_probe: int = 3,
+    n_iters: int = 3,
+    dim: int = 64,
+    sample_mod: int | None = 1,
+    m: int = 8,
+    nbits: int = 8,
+    rerank: int = 64,
+) -> DataFrame:
+    """IVF + PQ approximate top-k: probed cells' candidates are scored
+    by ASYMMETRIC DISTANCE (the query's exact (m × 2^nbits) sub-distance
+    table, summed over each candidate's m-byte code), the best
+    ``rerank`` per query get the exact-cosine re-rank, the global
+    window keeps k. Same cogrouped-by-cell shape as :func:`ivf_topk`;
+    the ADC preselect replaces the full (queries × members) matmul with
+    m table-gathers — the memory-tier trade (at production scale only
+    codes + codebooks are resident; full vectors are fetched for the
+    rerank set). Recall is pytest-measured and driver-checked via the
+    containment + recall-floor oracle — a form that tolerates the
+    last-ulp centroid wobble a loaded session's float-avg reduction
+    order can introduce."""
+    cents, cell_est = _kmeans_fit_counts(
+        emb, id_col, vec_col,
+        n_centroids if n_centroids is not None
+        else auto_ivf_params(emb.count())[0],
+        n_iters, dim, sample_mod if sample_mod is not None else 1,
+    )
+    books = pq_fit(emb, id_col, vec_col, dim=dim, m=m, nbits=nbits)
+    codes = pq_encode(emb, books, id_col, vec_col)
+
+    def _n() -> DataFrame:
+        return with_norm(emb, vec_col).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
+        )
+
+    n_m = _n()
+    members = n_m.withColumn("_cell", _cell_col(n_m, cents, "_v")).join(
+        codes, "_id"
+    )
+    n_p = _n()
+    probes = n_p.withColumn(
+        "_cell", F.explode(probe_cells_col(n_p, cents, "_v", n_probe))
+    )
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_id {id_type}, neighbor_id {id_type}, cosine double"
+    bc = emb.sparkSession.sparkContext.broadcast(np.ascontiguousarray(books))
+    mm, ksub, dsub = books.shape
+    kk_rerank = int(rerank)
+    kk = int(k)
+
+    def cell_topk_pq(probes_pdf: pd.DataFrame,
+                     members_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []})
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return empty
+        B = bc.value
+        Q = np.array(probes_pdf["_v"].tolist(), dtype=np.float64)
+        qn = probes_pdf["_norm"].to_numpy(dtype=np.float64)
+        Qn = Q / np.maximum(qn[:, None], 1e-30)
+        C = np.array(members_pdf["_code"].tolist(), dtype=np.int64)
+        # ADC: dist[q, j] = Σ_s lut[q, s, C[j, s]]
+        adc = np.zeros((len(Qn), len(C)), dtype=np.float64)
+        for sub in range(mm):
+            Qs = Qn[:, sub * dsub:(sub + 1) * dsub]
+            Bs = B[sub]
+            lut = (
+                (Qs * Qs).sum(axis=1, keepdims=True)
+                - 2.0 * (Qs @ Bs.T)
+                + (Bs * Bs).sum(axis=1)[None, :]
+            )  # (Qn, ksub)
+            adc += lut[:, C[:, sub]]
+        r = min(kk_rerank, adc.shape[1])
+        if adc.shape[1] > r:
+            pre = np.argpartition(adc, r - 1, axis=1)[:, :r]
+        else:
+            pre = np.broadcast_to(
+                np.arange(adc.shape[1]), (len(Qn), adc.shape[1])
+            ).copy()
+        # exact re-rank on the preselected candidates only
+        M = np.array(members_pdf["_v"].tolist(), dtype=np.float64)
+        mn = members_pdf["_norm"].to_numpy(dtype=np.float64)
+        qids = probes_pdf["_id"].to_numpy()
+        mids = members_pdf["_id"].to_numpy()
+        rows = np.repeat(np.arange(len(Qn)), pre.shape[1])
+        cols = pre.ravel()
+        cos = (Q[rows] * M[cols]).sum(axis=1) / (qn[rows] * mn[cols])
+        cos[qids[rows] == mids[cols]] = -np.inf  # mask self
+        # per-query top-k with deterministic tie-break (asc neighbor id)
+        order = np.lexsort((mids[cols], -cos, rows))
+        out_q, out_m, out_c = [], [], []
+        taken = 0
+        last_row = -1
+        for idx in order:
+            rq = rows[idx]
+            if rq != last_row:
+                last_row, taken = rq, 0
+            if taken < kk and np.isfinite(cos[idx]):
+                out_q.append(qids[rq])
+                out_m.append(mids[cols[idx]])
+                out_c.append(cos[idx])
+                taken += 1
+        return pd.DataFrame(
+            {"vec_id": out_q, "neighbor_id": out_m, "cosine": out_c}
+        )
+
+    cand = (
+        probes.groupBy("_cell")
+        .cogroup(members.groupBy("_cell"))
+        .applyInPandas(cell_topk_pq, out_schema)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

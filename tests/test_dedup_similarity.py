@@ -646,3 +646,66 @@ def test_simhash_bucket_cap_star_connectivity(spark):
     assert all(r.doc_a == 0 and r.hamming == 0 for r in got)
     comp = dup_clusters(pairs)
     assert {r.cluster_id for r in comp.collect()} == {0}
+
+
+def test_pq_codes_and_recall(spark, emb):
+    """PQ memory tier: codes are m small ints per vector (32x smaller
+    than the float32 vectors), fit/encode deterministic, ADC ordering
+    correlates with true distance (planted twins recover through the
+    full ivf_pq_topk path)."""
+    import numpy as np
+    import pandas as pd
+
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    books = pq_fit(emb, dim=64, m=8, nbits=4)
+    assert books.shape == (8, 16, 8)
+    assert np.array_equal(books, pq_fit(emb, dim=64, m=8, nbits=4))
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["_code"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["_code"])
+
+    # planted twins at production-ish shape: ivf_pq must recover them
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(2000, 64))
+    twins = base[:40] + rng.normal(scale=1e-3, size=(40, 64))
+    allv = np.concatenate([base, twins])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(allv)),
+         "embedding": [r.astype(np.float32).tolist() for r in allv]}
+    )
+    big = spark.createDataFrame(pdf).repartition(8)
+    top = ivf_pq_topk(
+        big, k=1, n_centroids=32, n_probe=8, n_iters=1, dim=64,
+        m=8, nbits=8, rerank=32,
+    ).where(F.col("vec_id") >= 2000)
+    got = {r.vec_id: r.neighbor_id for r in top.collect()}
+    hits = sum(1 for i in range(40) if got.get(2000 + i) == i)
+    assert hits == 40
+
+
+def test_ivf_pq_equals_ivf_when_rerank_covers_cells(spark, emb):
+    """With rerank >= cell size the ADC preselect is lossless: ivf_pq
+    must pick the same (query, neighbor, rank) set as plain ivf, with
+    cosines equal to BLAS-reduction-order tolerance (matmul vs per-pair
+    dot differ in the last ulp)."""
+    from ecov003_l2t_stars_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+    )
+
+    kw = dict(k=5, n_centroids=16, n_probe=4, n_iters=2, dim=64)
+    a = {(r.vec_id, r.neighbor_id): (r.rank, r.cosine)
+         for r in ivf_topk(emb, **kw).collect()}
+    b = {(r.vec_id, r.neighbor_id): (r.rank, r.cosine)
+         for r in ivf_pq_topk(emb, m=8, nbits=8, rerank=10_000,
+                              **kw).collect()}
+    assert a.keys() == b.keys()
+    for key, (rank_a, cos_a) in a.items():
+        rank_b, cos_b = b[key]
+        assert rank_a == rank_b, key
+        assert abs(cos_a - cos_b) < 1e-12, key
