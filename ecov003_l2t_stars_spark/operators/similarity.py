@@ -248,6 +248,52 @@ def _kmeans_fit_counts(
     return cents, est
 
 
+def _apply_cell_cap(
+    members: DataFrame,
+    probes: DataFrame,
+    cell_est: dict[int, int],
+    cell_cap: int | None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Salt skewed IVF cells into ⌈size/cap⌉ shards (members by id
+    hash, probes fanned to every shard). Shard counts come from the
+    k-means fit's own per-cell counts — no extra agg/joins, the plan
+    grows by O(#oversized) literals, and the zero-skew (common) case
+    keeps the exact uncapped plan. A stale estimate only mis-sizes
+    shards, never the result: each member lands in exactly one shard
+    either way. Returns (members, probes, cogroup keys)."""
+    oversized = (
+        {
+            c: -(-n // cell_cap)  # ceil
+            for c, n in cell_est.items()
+            if n > cell_cap
+        }
+        if cell_cap is not None
+        else {}
+    )
+    if not oversized:
+        return members, probes, ["_cell"]
+    nsh_map = F.create_map(
+        *[F.lit(x) for c, k2 in oversized.items() for x in (c, k2)]
+    )
+    members = members.withColumn(
+        "_shard",
+        F.when(
+            nsh_map[F.col("_cell")].isNotNull(),
+            F.pmod(F.xxhash64("_id"), nsh_map[F.col("_cell")]).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    probes = probes.withColumn(
+        "_shard",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(nsh_map[F.col("_cell")], F.lit(1)) - 1,
+            )
+        ),
+    )
+    return members, probes, ["_cell", "_shard"]
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -354,44 +400,9 @@ def ivf_topk(
             }
         )
 
-    keys = ["_cell"]
-    oversized = (
-        {
-            c: -(-n // cell_cap)  # ceil
-            for c, n in cell_est.items()
-            if n > cell_cap
-        }
-        if cell_cap is not None
-        else {}
+    members, probes, keys = _apply_cell_cap(
+        members, probes, cell_est, cell_cap
     )
-    if oversized:
-        # shard counts come from the fit's own per-cell counts — no
-        # extra agg/joins, plan grows by O(#oversized) literals, and
-        # the zero-skew (common) case keeps the exact uncapped plan.
-        # A stale estimate only mis-sizes shards, never the result:
-        # each member lands in exactly one shard either way.
-        nsh_map = F.create_map(
-            *[F.lit(x) for c, k2 in oversized.items() for x in (c, k2)]
-        )
-        members = members.withColumn(
-            "_shard",
-            F.when(
-                nsh_map[F.col("_cell")].isNotNull(),
-                F.pmod(F.xxhash64("_id"), nsh_map[F.col("_cell")]).cast(
-                    "int"
-                ),
-            ).otherwise(F.lit(0)),
-        )
-        probes = probes.withColumn(
-            "_shard",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.coalesce(nsh_map[F.col("_cell")], F.lit(1)) - 1,
-                )
-            ),
-        )
-        keys = ["_cell", "_shard"]
     cand = (
         probes.groupBy(*keys)
         .cogroup(members.groupBy(*keys))
@@ -728,6 +739,7 @@ def ivf_pq_topk(
     m: int = 8,
     nbits: int = 8,
     rerank: int = 64,
+    cell_cap: int | None = 8192,
 ) -> DataFrame:
     """IVF + PQ approximate top-k: probed cells' candidates are scored
     by ASYMMETRIC DISTANCE (the query's exact (m × 2^nbits) sub-distance
@@ -825,9 +837,12 @@ def ivf_pq_topk(
             {"vec_id": out_q, "neighbor_id": out_m, "cosine": out_c}
         )
 
+    members, probes, keys = _apply_cell_cap(
+        members, probes, cell_est, cell_cap
+    )
     cand = (
-        probes.groupBy("_cell")
-        .cogroup(members.groupBy("_cell"))
+        probes.groupBy(*keys)
+        .cogroup(members.groupBy(*keys))
         .applyInPandas(cell_topk_pq, out_schema)
     )
     w = Window.partitionBy("vec_id").orderBy(
