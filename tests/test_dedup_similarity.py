@@ -709,3 +709,48 @@ def test_ivf_pq_equals_ivf_when_rerank_covers_cells(spark, emb):
         rank_b, cos_b = b[key]
         assert rank_a == rank_b, key
         assert abs(cos_a - cos_b) < 1e-12, key
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_dup_clusters_matches_union_find(spark, seed):
+    """Differential check of the alternating-star components against a
+    Python union-find oracle on random graphs (mixed component sizes,
+    multi-edges, self-pair-free)."""
+    import random
+
+    rng = random.Random(seed)
+    n_nodes, n_edges = 60, 75
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # oracle label = min node id in the component
+    comp: dict[int, list[int]] = {}
+    touched = {x for e in edges for x in e}
+    for x in touched:
+        comp.setdefault(find(x), []).append(x)
+    expect = {}
+    for members in comp.values():
+        root = min(members)
+        for x in members:
+            expect[x] = root
+
+    from ecov003_l2t_stars_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == expect
