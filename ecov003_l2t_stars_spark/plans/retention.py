@@ -76,6 +76,21 @@ def expired_row_filter(tier: str, cutoff: dt.datetime):
     return F.col("bucket_end") <= F.lit(cutoff).cast("timestamp")
 
 
+def expired_segment_filter(
+    tier: str, cutoff: dt.datetime, segment_buckets: int = 4096
+):
+    """A payload segment is expirable only when its WHOLE POSSIBLE span
+    is past the cutoff (segments are aligned to absolute
+    ``segment_buckets``-bucket boundaries, so segment_start + span is
+    the latest bucket_end any point inside can have — a straddling
+    segment is kept whole; per-point trimming would force a decode +
+    re-encode for marginal savings)."""
+    span = segment_buckets * TIER_SECONDS[tier]
+    return (
+        F.unix_seconds(F.col("segment_start").cast("timestamp")) + span
+    ) <= F.unix_seconds(F.lit(cutoff).cast("timestamp"))
+
+
 def enforce_retention(
     spark: SparkSession,
     output_dir: str,
@@ -112,6 +127,15 @@ def enforce_retention(
             spark,
             str(Path(output_dir) / f"rollup_{tier}"),
             expired_row_filter(tier, cutoff),
+            partition_col="conv_bucket",
+        )
+        # the pipeline's compressed payload twin expires under the same
+        # policy (previously it accumulated forever); whole-span rule,
+        # no-op 0 when the job was configured without payload tables
+        dropped[f"payload_{tier}"] = fmt.delete_where(
+            spark,
+            str(Path(output_dir) / f"payload_{tier}"),
+            expired_segment_filter(tier, cutoff),
             partition_col="conv_bucket",
         )
     return dropped

@@ -126,3 +126,40 @@ def test_fully_expired_partition_is_removed(spark, tmp_path):
     # rerun: no error on the now-empty tier dir, nothing re-reported
     again = enforce_retention(spark, out, as_of, policy)
     assert again["1m"] == 0
+
+
+def test_payload_segments_expire_whole_span_only(spark, tmp_path):
+    """Payload segment tables expire under the same policy: a segment
+    whose whole possible span is past the cutoff is dropped; one that
+    straddles the cutoff is kept whole."""
+    import datetime as dt
+
+    from ecov003_l2t_stars_spark.plans.retention import (
+        RetentionPolicy,
+        enforce_retention,
+    )
+
+    as_of = dt.datetime(2025, 6, 1)
+    keep = dt.timedelta(days=7)
+    cutoff = as_of - keep
+    span = 4096 * 60  # 1m tier: 4096-bucket segment span in seconds
+    old_start = cutoff - dt.timedelta(seconds=span + 60)      # fully past
+    straddle_start = cutoff - dt.timedelta(seconds=span // 2)  # straddles
+    rows = [
+        ("a", "1m", old_start, 10, bytearray(b"x"), 1, 0),
+        ("b", "1m", straddle_start, 10, bytearray(b"y"), 2, 1),
+        ("c", "1m", as_of, 10, bytearray(b"z"), 3, 1),
+    ]
+    schema = ("conv_id string, tier string, segment_start timestamp, "
+              "n_points long, payload binary, crc32 long, conv_bucket int")
+    base = str(tmp_path / "out")
+    df = spark.createDataFrame(rows, schema)
+    df.write.partitionBy("conv_bucket").parquet(f"{base}/payload_1m")
+    # rollup tables absent: their delete is a no-op 0
+    policy = RetentionPolicy(keep={"1m": keep, "1h": None, "1d": None,
+                                   "30d": None})
+    d = enforce_retention(spark, base, as_of, policy=policy)
+    assert d["payload_1m"] == 1
+    left = {r.conv_id for r in
+            spark.read.parquet(f"{base}/payload_1m").collect()}
+    assert left == {"b", "c"}
