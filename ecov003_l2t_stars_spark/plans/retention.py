@@ -188,3 +188,41 @@ def downsample_then_expire(
         ["conv_id", "_coarse_bucket"],
         "left_anti",
     )
+
+
+def prune_state(
+    spark: SparkSession,
+    output_dir: str,
+    keep_last: int = 1,
+) -> int:
+    """Bound the append-only ``rollup_state`` table: keep the newest
+    ``keep_last`` rows per (conv_id, tier) — every RollupJob run appends
+    posterior states, so without pruning the table grows by
+    convs × runs forever. ``keep_last > 1`` retains rerun-of-day-N
+    priors for formats without snapshot history (a snapshot-keeping
+    format gets the same via ``read_as_of``; Iceberg analog: a
+    rewrite-data-files maintenance pass). Returns rows removed.
+
+    Rewrite is a whole-table overwrite behind a persist barrier (rule
+    8: the plan reads the files it replaces); the table is per-conv
+    metadata scale, not data scale.
+    """
+    from pyspark.sql import Window
+
+    path = Path(output_dir) / "rollup_state"
+    if not path.exists():
+        return 0
+    df = spark.read.parquet(str(path))
+    w = Window.partitionBy("conv_id", "tier").orderBy(F.col("as_of").desc())
+    kept = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= keep_last)
+        .drop("_rn")
+        .persist()
+    )
+    n_before = df.count()
+    n_after = kept.count()
+    if n_after < n_before:
+        kept.write.mode("overwrite").parquet(str(path))
+    kept.unpersist()
+    return n_before - n_after

@@ -163,3 +163,44 @@ def test_payload_segments_expire_whole_span_only(spark, tmp_path):
     left = {r.conv_id for r in
             spark.read.parquet(f"{base}/payload_1m").collect()}
     assert left == {"b", "c"}
+
+
+def test_prune_state_keeps_latest_per_conv_tier(spark, tmp_path):
+    """rollup_state pruning: only the newest keep_last rows per
+    (conv, tier) survive, and latest_state is unchanged by the prune."""
+    import datetime as dt
+
+    from ecov003_l2t_stars_spark.operators.smooth import latest_state
+    from ecov003_l2t_stars_spark.plans.retention import prune_state
+
+    base = str(tmp_path / "out")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", "1h", t0 + dt.timedelta(days=d), float(d), 0.5, 0.0, 0.1)
+        for d in range(4)
+    ] + [("c2", "1h", t0, 9.0, 0.5, 0.0, 0.1),
+         ("c1", "1d", t0, 7.0, 0.5, 0.0, 0.1)]
+    schema = ("conv_id string, tier string, as_of timestamp, mean double, "
+              "var double, bias_mean double, bias_var double")
+    df = spark.createDataFrame(rows, schema)
+    df.write.parquet(f"{base}/rollup_state")
+
+    before = {
+        r.conv_id: r.prior_mean
+        for r in latest_state(
+            spark.read.parquet(f"{base}/rollup_state"), "1h",
+            t0 + dt.timedelta(days=30),
+        ).collect()
+    }
+    removed = prune_state(spark, base)
+    assert removed == 3  # c1/1h had 4 rows → keep 1
+    after_df = spark.read.parquet(f"{base}/rollup_state")
+    assert after_df.count() == 3
+    after = {
+        r.conv_id: r.prior_mean
+        for r in latest_state(
+            after_df, "1h", t0 + dt.timedelta(days=30)
+        ).collect()
+    }
+    assert before == after == {"c1": 3.0, "c2": 9.0}
+    assert prune_state(spark, base) == 0  # idempotent
