@@ -157,29 +157,29 @@ def _riff_chunks(data: bytes, start: int, end: int):
         i += 8 + size + (size & 1)
 
 
-def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
-    """Uncompressed AVI (RIFF / 'DIB ' 24-bit frames) → ((n, h, w, 3)
-    uint8 RGB frames, fps). Pure stdlib struct + NumPy — the container
-    math (RIFF walking, DIB bottom-up BGR rows, 4-byte row stride) is
-    exactly what an ffmpeg-class library would hide; compressed codecs
-    still raise at this seam."""
+def scan_avi(payload: bytes) -> tuple[int, int, float, list[tuple[int, int]]]:
+    """Walk an uncompressed AVI container WITHOUT copying frame bytes:
+    → (w, h, fps, [(frame_body_start, frame_body_size), ...]).
+
+    The offset index is what lets :func:`decode_avi_frames_at` seek-decode
+    only sampled frames — a 10-minute payload never materializes as a
+    full frame cube just to keep every Nth frame."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError(
             "not an uncompressed AVI (RIFF) payload — other containers "
             "need an ffmpeg-class decoder"
         )
-    w = h = n_frames = 0
+    w = h = 0
     usec_per_frame = 0
-    frame_chunks: list[bytes] = []
+    offsets: list[tuple[int, int]] = []
 
     def walk(a: int, b: int) -> None:
-        nonlocal w, h, n_frames, usec_per_frame
+        nonlocal w, h, usec_per_frame
         for fourcc, s, size in _riff_chunks(payload, a, b):
             if fourcc == b"LIST":
                 walk(s + 4, s + size)  # skip the list-type fourcc
             elif fourcc == b"avih":
                 (usec_per_frame,) = struct.unpack("<I", payload[s:s + 4])
-                n_frames, = struct.unpack("<I", payload[s + 16:s + 20])
                 w, h = struct.unpack("<II", payload[s + 32:s + 40])
             elif fourcc == b"strf" and size >= 40:
                 bitcount, compression = struct.unpack(
@@ -191,18 +191,49 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
                         "decoder"
                     )
             elif fourcc[2:] in (b"db", b"dc"):
-                frame_chunks.append(payload[s:s + size])
+                offsets.append((s, size))
 
     walk(12, len(payload))
-    if not (w and h and frame_chunks):
+    if not (w and h and offsets):
         raise ValueError("AVI payload missing headers or frames")
-    stride = (3 * w + 3) & ~3
-    frames = np.empty((len(frame_chunks), h, w, 3), dtype=np.uint8)
-    for i, raw in enumerate(frame_chunks):
-        rows = np.frombuffer(raw, dtype=np.uint8, count=h * stride)
-        bgr = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
-        frames[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
     fps = 1e6 / usec_per_frame if usec_per_frame else 25.0
+    return w, h, fps, offsets
+
+
+def _decode_dib_frame(
+    payload: bytes, start: int, h: int, w: int, stride: int
+) -> np.ndarray:
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                         offset=start)
+    bgr = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+
+
+def decode_avi_frames_at(
+    payload: bytes, indices: list[int]
+) -> tuple[np.ndarray, float]:
+    """Seek-decode ONLY the requested frame indices of an uncompressed
+    AVI → ((len(indices), h, w, 3) uint8 RGB, fps). Peak memory is
+    proportional to the sampled set, not the video length."""
+    w, h, fps, offsets = scan_avi(payload)
+    stride = (3 * w + 3) & ~3
+    frames = np.empty((len(indices), h, w, 3), dtype=np.uint8)
+    for j, i in enumerate(indices):
+        frames[j] = _decode_dib_frame(payload, offsets[i][0], h, w, stride)
+    return frames, fps
+
+
+def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI (RIFF / 'DIB ' 24-bit frames) → ((n, h, w, 3)
+    uint8 RGB frames, fps). Pure stdlib struct + NumPy — the container
+    math (RIFF walking, DIB bottom-up BGR rows, 4-byte row stride) is
+    exactly what an ffmpeg-class library would hide; compressed codecs
+    still raise at this seam."""
+    w, h, fps, offsets = scan_avi(payload)
+    stride = (3 * w + 3) & ~3
+    frames = np.empty((len(offsets), h, w, 3), dtype=np.uint8)
+    for i, (start, _size) in enumerate(offsets):
+        frames[i] = _decode_dib_frame(payload, start, h, w, stride)
     return frames, fps
 
 
@@ -375,12 +406,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     continue
                 payload = bytes(r.payload)
                 if payload[:4] == b"RIFF":
-                    frames, fps = decode_avi_frames(payload)
+                    # seek-decode: scan the chunk index, decode ONLY the
+                    # sampled frames — never the full frame cube.
+                    w_, h_, fps, offsets = scan_avi(payload)
                     step = max(int(round(every_ms * fps / 1000.0)), 1)
-                    for j, i in enumerate(range(0, len(frames), step)):
+                    picks = list(range(0, len(offsets), step))
+                    frames, _ = decode_avi_frames_at(payload, picks)
+                    for j in range(len(picks)):
                         out["media_id"].append(r.media_id)
                         out["frame_idx"].append(j)
-                        out["frame_payload"].append(encode_ppm(frames[i]))
+                        out["frame_payload"].append(encode_ppm(frames[j]))
                     continue
                 n_frames = max(int((r.duration_ms or 0) // every_ms), 1)
                 step = max(len(payload) // n_frames, 1)
@@ -399,10 +434,36 @@ def repartition_by_bytes(
     media: DataFrame, target_mb: int = 128, avg_row_bytes: int | None = None
 ) -> DataFrame:
     """Size partitions by payload bytes, not row count (wide-row tables
-    break rows-per-partition heuristics at 100 TB)."""
-    total = media.agg(
-        F.sum(F.length("payload")).alias("b")
-    ).collect()[0]["b"] or 0
+    break rows-per-partition heuristics at 100 TB).
+
+    Byte total comes from, in order of preference: the caller-supplied
+    ``avg_row_bytes`` estimate (no job at all), the scan's file-level
+    metadata (``inputFiles`` sizes — no data pass), and only as a last
+    resort a ``sum(length(payload))`` aggregation job. On a 100-TB media
+    table the metadata path avoids one full extra scan."""
+    total = 0
+    if avg_row_bytes is not None:
+        total = avg_row_bytes * media.count()
+    else:
+        try:
+            files = media.inputFiles()
+        except Exception:
+            files = []
+        if files:
+            import os
+            from urllib.parse import unquote, urlparse
+
+            for uri in files:
+                p = urlparse(uri)
+                path = unquote(p.path) if p.scheme in ("file", "") else None
+                if path is None or not os.path.exists(path):
+                    files = []
+                    break
+                total += os.path.getsize(path)
+        if not files:
+            total = media.agg(
+                F.sum(F.length("payload")).alias("b")
+            ).collect()[0]["b"] or 0
     n = max(int(total / (target_mb * 1024 * 1024)) + 1, 1)
     return media.repartition(n)
 

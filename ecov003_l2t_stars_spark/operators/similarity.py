@@ -819,22 +819,23 @@ def ivf_pq_topk(
         cols = pre.ravel()
         cos = (Q[rows] * M[cols]).sum(axis=1) / (qn[rows] * mn[cols])
         cos[qids[rows] == mids[cols]] = -np.inf  # mask self
-        # per-query top-k with deterministic tie-break (asc neighbor id)
+        # per-query top-k with deterministic tie-break (asc neighbor id).
+        # pre is fixed-width (nQ, r): reshape the lexsorted order per query
+        # and take the first k — same fully-vectorized pattern as cell_topk.
+        # -inf (self-match) sorts last within a query, so truncate-then-
+        # filter is equivalent to the skip-and-keep-counting loop it
+        # replaces.
         order = np.lexsort((mids[cols], -cos, rows))
-        out_q, out_m, out_c = [], [], []
-        taken = 0
-        last_row = -1
-        for idx in order:
-            rq = rows[idx]
-            if rq != last_row:
-                last_row, taken = rq, 0
-            if taken < kk and np.isfinite(cos[idx]):
-                out_q.append(qids[rq])
-                out_m.append(mids[cols[idx]])
-                out_c.append(cos[idx])
-                taken += 1
+        width = pre.shape[1]
+        take = order.reshape(len(Qn), width)[:, :min(kk, width)].ravel()
+        keep = np.isfinite(cos[take])
+        sel = take[keep]
         return pd.DataFrame(
-            {"vec_id": out_q, "neighbor_id": out_m, "cosine": out_c}
+            {
+                "vec_id": qids[rows[sel]],
+                "neighbor_id": mids[cols[sel]],
+                "cosine": cos[sel],
+            }
         )
 
     members, probes, keys = _apply_cell_cap(

@@ -300,3 +300,53 @@ def test_sample_frames_real_avi(spark):
     assert [r.frame_idx for r in got] == [0, 1]
     assert np.array_equal(decode_ppm(bytes(got[0].frame_payload)), frames[0])
     assert np.array_equal(decode_ppm(bytes(got[1].frame_payload)), frames[5])
+
+
+def test_seek_decode_only_sampled_frames(monkeypatch):
+    """decode_avi_frames_at touches ONLY the requested frame chunks —
+    a long video sampled sparsely never materializes the full cube
+    (VERDICT r4 finding #2)."""
+    import ecov003_l2t_stars_spark.operators.multimodal as mm
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(120, 5, 7, 3), dtype=np.uint8)
+    payload = mm.encode_avi_rgb(frames, fps=24)
+    picks = [0, 24, 48, 72, 96]
+    calls = []
+    real = mm._decode_dib_frame
+
+    def counting(payload_, start, h, w, stride):
+        calls.append(start)
+        return real(payload_, start, h, w, stride)
+
+    monkeypatch.setattr(mm, "_decode_dib_frame", counting)
+    got, fps = mm.decode_avi_frames_at(payload, picks)
+    assert len(calls) == len(picks)  # not 120
+    assert got.shape == (len(picks), 5, 7, 3)
+    assert abs(fps - 24.0) < 0.01  # 1e6//fps usec rounding
+    full, _ = mm.decode_avi_frames(payload)
+    assert np.array_equal(got, full[picks])
+
+
+def test_repartition_by_bytes_uses_file_metadata(spark, tmp_path):
+    """A raw parquet scan sizes partitions from inputFiles metadata —
+    no extra sum(length(payload)) job over the data (VERDICT r4 #8)."""
+    import ecov003_l2t_stars_spark.operators.multimodal as mm
+
+    media = mm.synthetic_real_media(spark, n=12)
+    path = str(tmp_path / "media")
+    media.write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path)
+
+    called = []
+    orig = type(scan).agg
+
+    def spy(self, *a, **k):
+        called.append(a)
+        return orig(self, *a, **k)
+
+    import unittest.mock as mock
+    with mock.patch.object(type(scan), "agg", spy):
+        out = mm.repartition_by_bytes(scan, target_mb=1)
+    assert called == []  # metadata path: no aggregation job
+    assert out.count() == 12
