@@ -85,10 +85,9 @@ def main() -> None:
         "cosine_topk",
         "embed_near_pairs",
         "dedup_corpus",
-        # composition row: re-runs the minhash pipeline + components
-        # that dup_clusters already times
-        "curate_corpus",
     }
+    # curate_corpus overlaps dup_clusters' work but is the flagship
+    # end-to-end curation composition (VERDICT r4 #3) — timed anyway.
 
     # --- driver oracle queries over the sf tables -------------------------
     from ecov003_l2t_stars_spark.plans.driver_queries_text import (

@@ -754,3 +754,35 @@ def test_dup_clusters_matches_union_find(spark, seed):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == expect
+
+
+def test_cap_report_signals_degraded_runs(spark):
+    """r4 ADVICE: the cap report is the observable signal separating
+    'exact' from 'star-degraded' runs — empty on a benign corpus, the
+    oversized buckets on a boilerplate flood."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        minhash_cap_report,
+        simhash_cap_report,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    words = ["spark", "engine", "tier", "rollup", "minhash", "corpus",
+             "token", "query", "plan", "shuffle", "bucket", "stream"]
+    benign = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=30)) + f" uid{i}")
+         for i in range(60)],
+        "doc_id int, text string",
+    )
+    assert minhash_cap_report(benign, bucket_cap=50).count() == 0
+    assert simhash_cap_report(benign, bucket_cap=50).count() == 0
+
+    boiler = "all work and no play makes jack a dull boy " * 6
+    flood = spark.createDataFrame(
+        [(i, boiler) for i in range(120)], "doc_id int, text string"
+    )
+    mh = minhash_cap_report(flood, bucket_cap=100).collect()
+    assert len(mh) > 0 and all(r.bucket_size == 120 for r in mh)
+    sh = simhash_cap_report(flood, bucket_cap=100).collect()
+    assert len(sh) > 0 and all(r.bucket_size == 120 for r in sh)
