@@ -273,26 +273,54 @@ def _star_cap_sides(
     their rep to the a-side and only non-reps to the b-side (rep = min
     id, so the a < b predicate keeps exactly the star).
 
-    Implementation: bucket size and rep come from an unordered window
-    over ``keys`` — the SAME hash-partitioning (and sort, for SMJ) the
-    downstream band join needs, so the cap costs no extra shuffle pass.
-    The r4 groupBy+broadcast form ran a separate aggregation over the
-    full banded table and regressed simhash_pairs by 9% (VERDICT r4
-    finding #3); the window form recovers it.
+    Two physical strategies, picked by ``via_window``:
+
+    - ``via_window=True`` (NARROW banded rows, e.g. simhash's four
+      fixed-width columns): size and rep come from an unordered window
+      over ``keys`` — the SAME hash-partitioning the downstream band
+      join needs, reused on both sides via exchange reuse, so the cap
+      costs no extra aggregation pass. The r4 groupBy+broadcast form
+      ran a separate pass over the banded table and regressed
+      simhash_pairs by 9% (VERDICT r4 finding #3); the window form
+      recovered it (1.60 -> 1.34 s at sf0.1).
+    - ``via_window=False`` (WIDE banded rows, e.g. minhash rows
+      carrying the 64-long signature array): the window's shuffle+sort
+      would move ~600 B/row through WindowExec — measured +56% on
+      minhash_lsh_pairs — while the groupBy aggregates only the narrow
+      key columns map-side and the oversize table (tiny by pigeonhole:
+      at most rows/cap buckets qualify) broadcasts back.
     """
     if bucket_cap is None:
         return banded, banded
-    w = Window.partitionBy(*keys)
-    tagged = banded.withColumn(
-        "_bsz", F.count(F.lit(1)).over(w)
-    ).withColumn("_brep", F.min(id_c).over(w))
-    small = F.col("_bsz") <= bucket_cap
+    if via_window:
+        w = Window.partitionBy(*keys)
+        tagged = banded.withColumn(
+            "_bsz", F.count(F.lit(1)).over(w)
+        ).withColumn("_brep", F.min(id_c).over(w))
+        small = F.col("_bsz") <= bucket_cap
+        a_side = tagged.where(
+            small | (F.col(id_c) == F.col("_brep"))
+        ).drop("_bsz", "_brep")
+        b_side = tagged.where(
+            small | (F.col(id_c) != F.col("_brep"))
+        ).drop("_bsz", "_brep")
+        return a_side, b_side
+    over = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"), F.min(id_c).alias("_brep"))
+        .where(F.col("_bsz") > bucket_cap)
+        .drop("_bsz")
+        # lazily checkpointed — materialized by whichever side's
+        # broadcast builds first, reused by the other
+        .localCheckpoint(eager=False)
+    )
+    tagged = banded.join(F.broadcast(over), list(keys), "left")
     a_side = tagged.where(
-        small | (F.col(id_c) == F.col("_brep"))
-    ).drop("_bsz", "_brep")
+        F.col("_brep").isNull() | (F.col(id_c) == F.col("_brep"))
+    ).drop("_brep")
     b_side = tagged.where(
-        small | (F.col(id_c) != F.col("_brep"))
-    ).drop("_bsz", "_brep")
+        F.col("_brep").isNull() | (F.col(id_c) != F.col("_brep"))
+    ).drop("_brep")
     return a_side, b_side
 
 
@@ -629,7 +657,7 @@ def simhash_near_pairs(
     sigs = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     blocks = simhash_blocks(sigs)
     a_side, b_side = _star_cap_sides(blocks, ("blk", "bv"), "doc_id",
-                                     bucket_cap)
+                                     bucket_cap, via_window=True)
     l = a_side.select("blk", "bv", F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("_sa"))
     r = b_side.select("blk", "bv", F.col("doc_id").alias("doc_b"),
