@@ -464,6 +464,25 @@ def minhash_lsh_dedup(
         .where(F.col("doc_a") < F.col("doc_b"))
     )
 
+    return _screen_verify(
+        paired, docs, id_col, text_col, k, threshold, est_min, id_type
+    )
+
+
+def _screen_verify(
+    paired: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    est_min: int,
+    id_type: str,
+) -> DataFrame:
+    """Shared tail of the batch and incremental minhash pipelines:
+    vectorized signature-agreement screen over candidate rows
+    (``doc_a, doc_b, _siga, _sigb``), then exact-Jaccard verification
+    that shingles ONLY the screen survivors (looked up in ``docs``)."""
     # agreement count as ONE vectorized kernel per Arrow batch: the
     # zip_with + aggregate expression form is interpreted per element
     # (rule 11) — 64 boxed comparisons per candidate row dominated the
@@ -485,7 +504,8 @@ def minhash_lsh_dedup(
     # multi-band duplicates on the post-screen survivor set (a few
     # hundred rows) instead of the full candidate stream.
     screened = (
-        paired.mapInPandas(_screen, f"doc_a {id_type}, doc_b {id_type}")
+        paired.select("doc_a", "doc_b", "_siga", "_sigb")
+        .mapInPandas(_screen, f"doc_a {id_type}, doc_b {id_type}")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -526,6 +546,110 @@ def minhash_lsh_dedup(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_signature_store(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """The persisted state of the INCREMENTAL near-dup pipeline: one
+    (``_id, _sig, band, bh``) row per (doc, band) — the banded signature
+    table :func:`minhash_lsh_increment` joins new batches against.
+    Initialize it from the existing corpus (or start empty), write it
+    partitioned/bucketed by ``(band, bh)``, and append each increment's
+    ``new_store_rows`` after processing the batch. Reference analog:
+    the prior-aware range start that lets the daily advance skip
+    already-processed dates (L2T_STARS.py:328-335)."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, k).where(
+        F.col("_sig").isNotNull()
+    )
+    return minhash_banded(sigs, n_hashes, bands)
+
+
+def minhash_lsh_increment(
+    new_docs: DataFrame,
+    store: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.8,
+    bucket_cap: int | None = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: returns ``(pairs, new_store_rows)`` where
+    ``pairs`` are the near-dup pairs TOUCHING the new batch (new-new and
+    new-old) and ``new_store_rows`` are the batch's banded signatures to
+    append to ``store`` afterwards.
+
+    Only the new docs are shingled/minhashed — prior batches enter via
+    their persisted signatures. The store side of the band join is
+    first pruned to the buckets the new batch touches (a left-semi on
+    ``(band, bh)``: with the store bucketed on that key this prunes at
+    the scan, so per-increment cost scales with the BATCH, not the
+    corpus). Because all members of every touched bucket are present,
+    candidate generation inside those buckets — including the
+    ``bucket_cap`` star degradation — is identical to the full-corpus
+    recompute, so::
+
+        increment(batch_n) ∪ pairs-so-far  ==  full recompute
+
+    bit-for-bit, provided no touched bucket crossed ``bucket_cap``
+    BETWEEN increments (a bucket under the cap at batch 1 but over it
+    after batch 2 star-degrades pairs the earlier increment emitted in
+    full — connectivity is still preserved; check
+    :func:`minhash_cap_report`, or disable the cap, for pair-exact
+    incremental runs). Verification shingles only screen survivors,
+    looked up in ``docs`` (the corpus including the new batch — old
+    survivors need their text for the exact-Jaccard check, exactly as
+    the full recompute would).
+    """
+    sigs_new = (
+        minhash_signatures(new_docs, id_col, text_col, n_hashes, k)
+        .where(F.col("_sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    new_banded = minhash_banded(sigs_new, n_hashes, bands)
+
+    touched = new_banded.select("band", "bh").distinct()
+    old_in_touched = store.join(touched, ["band", "bh"], "left_semi")
+    all_banded = old_in_touched.select(
+        "_id", "_sig", "band", "bh", F.lit(False).alias("_new")
+    ).unionByName(
+        new_banded.select(
+            "_id", "_sig", "band", "bh", F.lit(True).alias("_new")
+        )
+    )
+    a_side, b_side = _star_cap_sides(all_banded, ("band", "bh"), "_id",
+                                     bucket_cap)
+    paired = (
+        a_side.select(
+            "band", "bh",
+            F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga"),
+            F.col("_new").alias("_newa"),
+        )
+        .join(
+            b_side.select(
+                "band", "bh",
+                F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb"),
+                F.col("_new").alias("_newb"),
+            ),
+            ["band", "bh"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.col("_newa") | F.col("_newb"))
+    )
+    est_min = int((threshold - 0.25) * n_hashes)
+    id_type = sigs_new.schema["_id"].dataType.simpleString()
+    pairs = _screen_verify(
+        paired, docs, id_col, text_col, k, threshold, est_min, id_type
+    )
+    return pairs, new_banded
 
 
 SIMHASH_BITS = 62
