@@ -39,6 +39,11 @@ SEGMENT_SCHEMA = StructType(
         StructField("conv_id", StringType()),
         StructField("tier", StringType()),
         StructField("segment_start", TimestampType()),
+        # last bucket_start actually present — retention filters on THIS
+        # (exact at any segment_buckets), not an assumed max span that
+        # under-estimates when a pipeline encodes with larger segments
+        # (r4 ADVICE: data loss in the unsafe direction)
+        StructField("segment_end", TimestampType()),
         StructField("n_points", LongType()),
         StructField("payload", BinaryType()),
         # integrity checksum (SURVEY §2.1 S11: the reference's POSIX
@@ -117,6 +122,9 @@ def encode_payloads(
                 "conv_id": np.asarray(uniq)[cc[heads]],
                 "tier": tier,
                 "segment_start": pd.to_datetime(ss[heads], unit="s"),
+                "segment_end": pd.to_datetime(
+                    ts_us_all[bounds[1:] - 1], unit="us"
+                ),
                 "n_points": np.diff(bounds),
                 "payload": payloads,
                 "crc32": np.array(crcs, dtype=np.int64),

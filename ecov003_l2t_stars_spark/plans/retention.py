@@ -76,15 +76,29 @@ def expired_row_filter(tier: str, cutoff: dt.datetime):
     return F.col("bucket_end") <= F.lit(cutoff).cast("timestamp")
 
 
-def expired_segment_filter(
+def expired_segment_filter(tier: str, cutoff: dt.datetime):
+    """A payload segment is expirable when its LAST point's bucket is
+    past the cutoff: ``segment_end`` is stored by ``encode_payloads``
+    (the actual last bucket_start present), so the rule is exact at any
+    ``segment_buckets`` configuration — no assumed span (r4 ADVICE: an
+    under-estimated span could expire segments whose tail buckets were
+    still inside the window). A segment straddling the cutoff is kept
+    whole; per-point trimming would force a decode + re-encode for
+    marginal savings. The bucket itself spans TIER_SECONDS, so expiry
+    compares the bucket END like :func:`expired_row_filter`."""
+    return (
+        F.unix_seconds(F.col("segment_end").cast("timestamp"))
+        + TIER_SECONDS[tier]
+    ) <= F.unix_seconds(F.lit(cutoff).cast("timestamp"))
+
+
+def expired_segment_filter_legacy(
     tier: str, cutoff: dt.datetime, segment_buckets: int = 4096
 ):
-    """A payload segment is expirable only when its WHOLE POSSIBLE span
-    is past the cutoff (segments are aligned to absolute
-    ``segment_buckets``-bucket boundaries, so segment_start + span is
-    the latest bucket_end any point inside can have — a straddling
-    segment is kept whole; per-point trimming would force a decode +
-    re-encode for marginal savings)."""
+    """Whole-POSSIBLE-span rule for payload tables written before
+    ``segment_end`` existed. ``segment_buckets`` MUST match the value
+    the table was encoded with (enforce_retention plumbs it) — an
+    under-estimate deletes live data."""
     span = segment_buckets * TIER_SECONDS[tier]
     return (
         F.unix_seconds(F.col("segment_start").cast("timestamp")) + span
@@ -97,6 +111,7 @@ def enforce_retention(
     as_of: dt.datetime,
     policy: RetentionPolicy | None = None,
     fmt=None,
+    segment_buckets: int = 4096,
 ) -> dict[str, int]:
     """Drop expired rows per tier. Returns rows dropped per tier.
 
@@ -130,12 +145,20 @@ def enforce_retention(
             partition_col="conv_bucket",
         )
         # the pipeline's compressed payload twin expires under the same
-        # policy (previously it accumulated forever); whole-span rule,
-        # no-op 0 when the job was configured without payload tables
+        # policy (previously it accumulated forever); exact
+        # segment_end rule, legacy whole-span rule (with the caller's
+        # segment_buckets — r4 ADVICE: never assume the default) for
+        # tables written before segment_end existed; no-op 0 when the
+        # job was configured without payload tables
+        ppath = str(Path(output_dir) / f"payload_{tier}")
+        legacy = fmt.exists(spark, ppath) and (
+            "segment_end" not in fmt.read(spark, ppath).columns
+        )
         dropped[f"payload_{tier}"] = fmt.delete_where(
             spark,
-            str(Path(output_dir) / f"payload_{tier}"),
-            expired_segment_filter(tier, cutoff),
+            ppath,
+            expired_segment_filter_legacy(tier, cutoff, segment_buckets)
+            if legacy else expired_segment_filter(tier, cutoff),
             partition_col="conv_bucket",
         )
     return dropped
@@ -194,6 +217,7 @@ def prune_state(
     spark: SparkSession,
     output_dir: str,
     keep_last: int = 1,
+    fmt=None,
 ) -> int:
     """Bound the append-only ``rollup_state`` table: keep the newest
     ``keep_last`` rows per (conv_id, tier) — every RollupJob run appends
@@ -203,26 +227,31 @@ def prune_state(
     format gets the same via ``read_as_of``; Iceberg analog: a
     rewrite-data-files maintenance pass). Returns rows removed.
 
-    Rewrite is a whole-table overwrite behind a persist barrier (rule
-    8: the plan reads the files it replaces); the table is per-conv
-    metadata scale, not data scale.
+    All I/O goes through the TableFormat contract (r4 ADVICE: a raw
+    read + mode('overwrite') corrupted SnapshotParquetFormat tables —
+    it deleted the _snapshots manifests — and silently no-opped for
+    InMemoryFormat): the state table is UNPARTITIONED (plain
+    ``fmt.append``), so the right verb is the whole-table ``rewrite``
+    (Iceberg analog: rewrite_data_files), not a partition-scoped
+    ``delete_where`` — which would flip the physical layout to
+    partitioned and strand the old root-level part files unreadably.
+    Each format's ``rewrite`` owns its read-modify-write safety
+    (ParquetFormat barriers per rule 8; snapshot formats are immune).
+    The table is per-conv metadata scale, not data scale.
     """
     from pyspark.sql import Window
 
-    path = Path(output_dir) / "rollup_state"
-    if not path.exists():
+    from ecov003_l2t_stars_spark.plans.table_format import ParquetFormat
+
+    fmt = fmt or ParquetFormat()
+    path = str(Path(output_dir) / "rollup_state")
+    if not fmt.exists(spark, path):
         return 0
-    df = spark.read.parquet(str(path))
+    df = fmt.read(spark, path)
     w = Window.partitionBy("conv_id", "tier").orderBy(F.col("as_of").desc())
-    kept = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= keep_last)
-        .drop("_rn")
-        .persist()
-    )
-    n_before = df.count()
-    n_after = kept.count()
-    if n_after < n_before:
-        kept.write.mode("overwrite").parquet(str(path))
-    kept.unpersist()
-    return n_before - n_after
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    n_stale = ranked.where(F.col("_rn") > keep_last).count()
+    if n_stale == 0:
+        return 0
+    fmt.rewrite(ranked.where(F.col("_rn") <= keep_last).drop("_rn"), path)
+    return n_stale

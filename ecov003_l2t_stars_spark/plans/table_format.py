@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import json
 import shutil
+import time
+import uuid
 from abc import ABC, abstractmethod
 from pathlib import Path
 
@@ -126,6 +128,15 @@ class TableFormat(ABC):
         missing table."""
 
     @abstractmethod
+    def rewrite(self, df: DataFrame, path: str) -> None:
+        """Replace the WHOLE table with ``df`` in one commit (Iceberg
+        analog: ``rewrite_data_files`` / ``INSERT OVERWRITE`` on an
+        unpartitioned table). ``df``'s lineage MAY read the table being
+        rewritten — every implementation must barrier or snapshot so
+        the read completes against the old state (maintenance rewrites
+        like ``prune_state`` are always read-modify-write)."""
+
+    @abstractmethod
     def merge_replace_keys(
         self,
         spark: SparkSession,
@@ -187,6 +198,13 @@ class ParquetFormat(TableFormat):
         )
         if barrier:
             df.unpersist()
+
+    def rewrite(self, df: DataFrame, path: str) -> None:
+        # rule 8: the plan reads the files it replaces — barrier first
+        df = df.persist()
+        df.count()
+        df.write.mode("overwrite").parquet(path)
+        df.unpersist()
 
     def delete_where(
         self,
@@ -370,6 +388,14 @@ class InMemoryFormat(TableFormat):
             path, df.schema, survivors + new_rows, expected_snapshot
         )
 
+    def rewrite(
+        self, df: DataFrame, path: str,
+        expected_snapshot: int | None = None,
+    ) -> None:
+        # snapshot isolation: _tuples collects against the CURRENT
+        # snapshot before _commit appends the new one — barrier is free
+        self._commit(path, df.schema, self._tuples(df), expected_snapshot)
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -381,12 +407,28 @@ class InMemoryFormat(TableFormat):
         if not self.exists(spark, path):
             return 0
         snapshot = self.read(spark, path)
-        kept = self._tuples(snapshot.where(~predicate))
-        schema, old = self._current(path)
-        if len(kept) == len(old):
+        # partition-scoped like the real formats (r4 ADVICE): only
+        # partitions holding a predicate-TRUE row are rewritten, so a
+        # row whose predicate evaluates NULL survives in an unaffected
+        # partition but is dropped (~predicate is NULL -> filtered) in
+        # an affected one — bit-matching ParquetFormat's pruned
+        # dynamic-overwrite and SnapshotParquetFormat's manifest swap.
+        affected = {
+            r[0]
+            for r in snapshot.where(predicate)
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
+        if not affected:
             # nothing matched: no new snapshot (same as the parquet
             # twin and Iceberg — an empty DELETE is not a commit)
             return 0
+        in_affected = F.col(partition_col).isin(list(affected))
+        kept = self._tuples(
+            snapshot.where(~in_affected | (in_affected & ~predicate))
+        )
+        schema, old = self._current(path)
         self._commit(path, schema, kept, expected_snapshot)
         return len(old) - len(kept)
 
@@ -468,6 +510,34 @@ class SnapshotParquetFormat(TableFormat):
             if self.SNAPDIR not in p.parts
         }
 
+    def _staged_write(self, path: str, writer) -> set[str]:
+        """Run ``writer(staging_dir)`` and move exactly the part files
+        it produced into the table, returning their table-relative
+        paths (partition subdirs preserved, so ``basePath`` reads keep
+        working).
+
+        The commit's file set is derived from the WRITE ITSELF, never
+        from a before/after directory diff: under concurrent writers a
+        diff can sweep a racing writer's not-yet-committed part files
+        into this commit's manifest (phantom rows now, duplicates when
+        the loser retries — r4 ADVICE). Staging lives under
+        ``_snapshots/stage/<uuid>`` so readers and the file GC never
+        see half-written data; part-file names carry Spark's per-job
+        UUID, so the moves cannot collide. Orphaned staging dirs from
+        crashed writers are reaped by :meth:`expire_snapshots`."""
+        stage = self._sdir(path) / "stage" / uuid.uuid4().hex
+        writer(str(stage))
+        moved: set[str] = set()
+        if stage.exists():
+            for p in stage.rglob("*.parquet"):
+                rel = p.relative_to(stage)
+                dest = Path(path) / rel
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                p.rename(dest)
+                moved.add(str(rel))
+            shutil.rmtree(stage, ignore_errors=True)
+        return moved
+
     def _publish(
         self, path: str, files, schema_json: str, expected: int | None
     ) -> int:
@@ -528,11 +598,26 @@ class SnapshotParquetFormat(TableFormat):
         self, df: DataFrame, path: str,
         expected_snapshot: int | None = None,
     ) -> None:
-        before = self._list_files(path)
-        df.write.mode("append").parquet(path)
-        new = self._list_files(path) - before
         ids = self._ids(path)
         old = self._load(path, ids[-1])["files"] if ids else []
+        # preserve the table's partition layout: root-level part files
+        # next to col=val/ dirs are silently DROPPED by a partition-
+        # inferring read (latent pre-staging bug, exposed by the r5
+        # foreign-file race test)
+        pcol = next(
+            (
+                f.split("/", 1)[0].split("=", 1)[0]
+                for f in old
+                if "/" in f and "=" in f.split("/", 1)[0]
+            ),
+            None,
+        )
+
+        def _w(d: str) -> None:
+            w = df.write.mode("overwrite")
+            (w.partitionBy(pcol) if pcol else w).parquet(d)
+
+        new = self._staged_write(path, _w)
         self._publish(
             path, set(old) | new, df.schema.json(), expected_snapshot
         )
@@ -552,9 +637,11 @@ class SnapshotParquetFormat(TableFormat):
         out = df.repartition(partition_col)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
-        before = self._list_files(path)
-        out.write.mode("append").partitionBy(partition_col).parquet(path)
-        new = self._list_files(path) - before
+        new = self._staged_write(
+            path,
+            lambda d: out.write.mode("overwrite")
+            .partitionBy(partition_col).parquet(d),
+        )
         replaced = {f"{partition_col}={v}" for v in parts}
         ids = self._ids(path)
         old = self._load(path, ids[-1])["files"] if ids else []
@@ -586,13 +673,11 @@ class SnapshotParquetFormat(TableFormat):
         in_affected = F.col(partition_col).cast("string").isin(list(affected))
         n_before = cur.where(in_affected).count()
         kept_df = cur.where(in_affected).where(~predicate)
-        before = self._list_files(path)
-        (
-            kept_df.write.mode("append")
-            .partitionBy(partition_col)
-            .parquet(path)
+        new = self._staged_write(
+            path,
+            lambda d: kept_df.write.mode("overwrite")
+            .partitionBy(partition_col).parquet(d),
         )
-        new = self._list_files(path) - before
         n_after = kept_df.count()
         dead_dirs = {f"{partition_col}={v}" for v in affected}
         ids = self._ids(path)
@@ -637,11 +722,52 @@ class SnapshotParquetFormat(TableFormat):
             expected_snapshot=expected_snapshot,
         )
 
+    def rewrite(
+        self, df: DataFrame, path: str,
+        expected_snapshot: int | None = None,
+    ) -> None:
+        # no barrier needed: df's lineage resolves the CURRENT manifest
+        # and scans exactly its (immutable) files; the staged write
+        # lands new files and the publish swaps the manifest to ONLY
+        # those — old files linger until expire_snapshots
+        ids = self._ids(path)
+        old = self._load(path, ids[-1])["files"] if ids else []
+        pcol = next(
+            (
+                f.split("/", 1)[0].split("=", 1)[0]
+                for f in old
+                if "/" in f and "=" in f.split("/", 1)[0]
+            ),
+            None,
+        )
+
+        def _w(d: str) -> None:
+            w = df.write.mode("overwrite")
+            (w.partitionBy(pcol) if pcol else w).parquet(d)
+
+        new = self._staged_write(path, _w)
+        self._publish(path, new, df.schema.json(), expected_snapshot)
+
     # --- maintenance -------------------------------------------------
-    def expire_snapshots(self, path: str, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, path: str, keep_last: int = 1,
+        orphan_ttl_s: float = 86_400.0,
+    ) -> int:
         """Drop all but the newest ``keep_last`` manifests and delete
         data files no retained manifest references. Returns files
-        removed. The GC that bounds time-travel storage."""
+        removed. The GC that bounds time-travel storage.
+
+        Also reaps staging dirs (``_snapshots/stage/*``) older than
+        ``orphan_ttl_s`` — leftovers of crashed writers. The TTL keeps
+        the GC from deleting a LIVE concurrent writer's in-flight
+        staging (the Iceberg orphan-file rule); pass 0 only when no
+        writer can be running."""
+        stage_root = self._sdir(path) / "stage"
+        if stage_root.exists():
+            now = time.time()
+            for d in stage_root.iterdir():
+                if d.is_dir() and now - d.stat().st_mtime >= orphan_ttl_s:
+                    shutil.rmtree(d, ignore_errors=True)
         ids = self._ids(path)
         retained = ids[-keep_last:] if keep_last > 0 else []
         live: set[str] = set()

@@ -204,3 +204,36 @@ def test_prune_state_keeps_latest_per_conv_tier(spark, tmp_path):
     }
     assert before == after == {"c1": 3.0, "c2": 9.0}
     assert prune_state(spark, base) == 0  # idempotent
+
+
+def test_prune_state_through_format_contract(spark, tmp_path):
+    """r4 ADVICE: prune_state must route through the TableFormat
+    contract — under SnapshotParquetFormat the manifests survive (old
+    snapshot still time-travels), under InMemoryFormat it actually
+    prunes instead of silently no-opping."""
+    import datetime as dt
+
+    from ecov003_l2t_stars_spark.plans.retention import prune_state
+    from ecov003_l2t_stars_spark.plans.table_format import (
+        InMemoryFormat,
+        SnapshotParquetFormat,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", "1h", t0 + dt.timedelta(days=d), float(d), 0.5, 0.0, 0.1)
+        for d in range(4)
+    ] + [("c2", "1h", t0, 9.0, 0.5, 0.0, 0.1)]
+    schema = ("conv_id string, tier string, as_of timestamp, mean double, "
+              "var double, bias_mean double, bias_var double")
+
+    for i, fmt in enumerate([SnapshotParquetFormat(), InMemoryFormat()]):
+        base = str(tmp_path / f"out{i}")
+        path = f"{base}/rollup_state"
+        fmt.append(spark.createDataFrame(rows, schema), path)
+        pre = fmt.current_snapshot(spark, path)
+        assert prune_state(spark, base, fmt=fmt) == 3
+        assert fmt.read(spark, path).count() == 2
+        assert prune_state(spark, base, fmt=fmt) == 0  # idempotent
+        # snapshot history intact: the pre-prune state still reads
+        assert fmt.read_as_of(spark, path, pre).count() == 5

@@ -427,3 +427,106 @@ def test_formats_agree_append_only(spark, tmp_path):
         a = _rows_of(fmts[0][0].read_as_of(spark, fmts[0][1], sid))
         b = _rows_of(fmts[1][0].read_as_of(spark, fmts[1][1], sid))
         assert a == b and len(a) == sid + 1
+
+
+def test_commit_never_sweeps_foreign_files(spark, tmp_path):
+    """r4 ADVICE (medium): a commit's file set comes from its own
+    staged write, never a directory diff — an uncommitted part file a
+    racing writer left in the table dir must not enter this commit's
+    manifest (phantom rows / retry duplicates)."""
+    from pathlib import Path
+
+    fmt = SnapshotParquetFormat()
+    p = str(tmp_path / "race")
+    fmt.overwrite_partitions(_seed(spark), p, "part")
+    before = _rows_of(fmt.read(spark, p))
+
+    # a racing writer's in-flight, not-yet-committed part file
+    stray_dir = Path(p) / "part=1"
+    spark.createDataFrame(
+        [("ghost", 1, -1.0)], "key string, part int, val double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ghost"))
+    ghost = next((tmp_path / "ghost").glob("*.parquet"))
+    stray = stray_dir / "part-stray-racer.parquet"
+    stray.write_bytes(ghost.read_bytes())
+
+    extra = spark.createDataFrame(
+        [("z9", 2, 9.0)], "key string, part int, val double"
+    )
+    fmt.append(extra, p)
+    man = fmt._load(p, fmt.current_snapshot(spark, p))
+    assert "part=1/part-stray-racer.parquet" not in man["files"]
+    got = _rows_of(fmt.read(spark, p))
+    assert got == sorted(before + [("z9", 2, 9.0)])
+    assert ("ghost", 1, -1.0) not in got
+
+
+def test_expire_snapshots_reaps_orphaned_staging(spark, tmp_path):
+    """Crashed-writer staging dirs are reaped only past the TTL, so a
+    live writer's in-flight staging survives the GC."""
+    from pathlib import Path
+
+    fmt = SnapshotParquetFormat()
+    p = str(tmp_path / "orph")
+    fmt.overwrite_partitions(_seed(spark), p, "part")
+    stage = Path(p) / fmt.SNAPDIR / "stage" / "deadbeef"
+    stage.mkdir(parents=True)
+    (stage / "part-zombie.parquet").write_bytes(b"x")
+    fmt.expire_snapshots(p, keep_last=1)  # default TTL: kept
+    assert stage.exists()
+    fmt.expire_snapshots(p, keep_last=1, orphan_ttl_s=0.0)
+    assert not stage.exists()
+
+
+def test_rewrite_contract(spark, formats):
+    """Whole-table rewrite whose lineage reads the table being
+    rewritten (the prune_state shape): every format must barrier or
+    snapshot so the read completes against the old state, and the
+    result replaces the WHOLE table (old rows gone, layout readable)."""
+    results = []
+    for fmt, path_of in formats:
+        p = path_of("rw")
+        fmt.append(_seed(spark), p)  # unpartitioned, like rollup_state
+        cur = fmt.read(spark, p)
+        fmt.rewrite(cur.where(F.col("val") >= 5.0), p)
+        results.append(_rows_of(fmt.read(spark, p)))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 4 and all(r[2] >= 5.0 for r in results[0])
+
+
+def test_rewrite_keeps_snapshot_history(spark, tmp_path):
+    """SnapshotParquetFormat.rewrite publishes a manifest holding ONLY
+    the new files; the prior snapshot still time-travels."""
+    fmt = SnapshotParquetFormat()
+    p = str(tmp_path / "rwsnap")
+    fmt.overwrite_partitions(_seed(spark), p, "part")
+    sid = fmt.current_snapshot(spark, p)
+    fmt.rewrite(fmt.read(spark, p).where(F.col("part") != 1), p)
+    assert len(_rows_of(fmt.read(spark, p))) == 6
+    assert len(_rows_of(fmt.read_as_of(spark, p, sid))) == 9
+    man = fmt._load(p, fmt.current_snapshot(spark, p))
+    old = set(fmt._load(p, sid)["files"])
+    assert not (set(man["files"]) & old)  # full replacement, no reuse
+
+
+def test_delete_where_null_predicate_contract(spark, formats):
+    """r4 ADVICE: a row whose predicate evaluates NULL must get the
+    same fate under all formats — kept when its partition holds no
+    predicate-TRUE row (partition never rewritten), dropped when it
+    does (~NULL filters it out of the rewrite)."""
+    rows = [
+        ("a", 0, 9.0), ("b", 0, None),   # part 0: TRUE row + NULL row
+        ("c", 1, None), ("d", 1, 1.0),   # part 1: no TRUE row
+    ]
+    results = []
+    for fmt, path_of in formats:
+        p = path_of("nullpred")
+        df = spark.createDataFrame(
+            rows, "key string, part int, val double"
+        )
+        fmt.overwrite_partitions(df, p, "part")
+        n = fmt.delete_where(spark, p, F.col("val") > 5.0, "part")
+        assert n == 2  # the TRUE row and its NULL partition-mate
+        results.append(_rows_of(fmt.read(spark, p)))
+    assert results[0] == results[1] == results[2]
+    assert results[0] == [("c", 1, None), ("d", 1, 1.0)]
