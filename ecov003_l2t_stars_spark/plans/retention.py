@@ -165,20 +165,28 @@ def enforce_retention(
 
 
 def compact_tier(
-    spark: SparkSession, output_dir: str, tier: str,
-    target_files_per_partition: int = 1,
+    spark: SparkSession, output_dir: str, tier: str, fmt=None,
 ) -> None:
     """Small-file compaction: rewrite each conv_bucket partition into
-    ``target_files_per_partition`` sorted files (the maintenance job an
-    Iceberg ``rewrite_data_files`` procedure runs; here explicit)."""
+    one sorted file per partition (the maintenance job an Iceberg
+    ``rewrite_data_files`` procedure runs; here explicit).
+
+    Routed through the TableFormat contract like every other
+    maintenance verb (the prune_state lesson, r4 ADVICE): a raw
+    read + overwrite on a snapshot-format table deletes files its
+    manifests still reference. ``overwrite_partitions`` hash-clusters
+    on conv_bucket (one task per bucket at write → one file per
+    partition dir) and its barrier covers rule 8 for the parquet
+    twin; snapshot formats are immune by construction."""
+    from ecov003_l2t_stars_spark.plans.table_format import ParquetFormat
+
+    fmt = fmt or ParquetFormat()
     path = str(Path(output_dir) / f"rollup_{tier}")
-    df = spark.read.parquet(path)
-    (
-        df.repartition(target_files_per_partition, "conv_bucket")
-        .sortWithinPartitions("conv_id", "bucket_start")
-        .write.mode("overwrite")
-        .partitionBy("conv_bucket")
-        .parquet(path)
+    if not fmt.exists(spark, path):
+        return
+    fmt.overwrite_partitions(
+        fmt.read(spark, path), path, "conv_bucket",
+        sort_cols=("conv_id", "bucket_start"), barrier=True,
     )
 
 
@@ -189,14 +197,18 @@ def downsample_then_expire(
     coarse_tier: str,
     as_of: dt.datetime,
     policy: RetentionPolicy | None = None,
+    fmt=None,
 ) -> DataFrame:
     """Audit helper: fine-tier rows about to expire that are NOT covered
     by an existing coarse bucket (must be empty before enforcement —
     left-anti, the watermark-check shape, SURVEY §2.3 J4)."""
     policy = policy or RetentionPolicy()
     cutoff = policy.cutoff(fine_tier, as_of)
-    fine = spark.read.parquet(str(Path(output_dir) / f"rollup_{fine_tier}"))
-    coarse = spark.read.parquet(str(Path(output_dir) / f"rollup_{coarse_tier}"))
+    from ecov003_l2t_stars_spark.plans.table_format import ParquetFormat
+
+    fmt = fmt or ParquetFormat()
+    fine = fmt.read(spark, str(Path(output_dir) / f"rollup_{fine_tier}"))
+    coarse = fmt.read(spark, str(Path(output_dir) / f"rollup_{coarse_tier}"))
     n = TIER_SECONDS[coarse_tier]
     expiring = fine.where(expired_row_filter(fine_tier, cutoff)).withColumn(
         "_coarse_bucket",

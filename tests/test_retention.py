@@ -237,3 +237,41 @@ def test_prune_state_through_format_contract(spark, tmp_path):
         assert prune_state(spark, base, fmt=fmt) == 0  # idempotent
         # snapshot history intact: the pre-prune state still reads
         assert fmt.read_as_of(spark, path, pre).count() == 5
+
+
+def test_compact_tier_through_snapshot_format(spark, tmp_path):
+    """Compaction routed through the contract: on a snapshot-keeping
+    format the manifests survive, rows are preserved, and the
+    pre-compaction snapshot still time-travels."""
+    import datetime as dt
+
+    from ecov003_l2t_stars_spark.plans.retention import compact_tier
+    from ecov003_l2t_stars_spark.plans.table_format import (
+        SnapshotParquetFormat,
+    )
+
+    fmt = SnapshotParquetFormat()
+    base = str(tmp_path / "out")
+    path = f"{base}/rollup_1h"
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (f"c{i}", i % 3, t0 + dt.timedelta(hours=i), float(i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, conv_bucket int, bucket_start timestamp, "
+        "mean double",
+    )
+    # two appends → multiple small files per partition
+    fmt.overwrite_partitions(df, path, "conv_bucket")
+    fmt.append(df.where(F.col("conv_bucket") == 99), path)  # no-op rows
+    pre = fmt.current_snapshot(spark, path)
+    compact_tier(spark, base, "1h", fmt=fmt)
+    assert fmt.read(spark, path).count() == 12
+    assert fmt.read_as_of(spark, path, pre).count() == 12
+    man = fmt._load(path, fmt.current_snapshot(spark, path))
+    per_dir: dict = {}
+    for f in man["files"]:
+        per_dir.setdefault(f.split("/", 1)[0], []).append(f)
+    assert all(len(v) == 1 for v in per_dir.values())
