@@ -136,6 +136,13 @@ def encode_payloads(
 
 def decode_payloads(segments: DataFrame) -> DataFrame:
     """Explode segments back into (conv_id, tier, bucket_start, value)."""
+    # prune to the columns the kernel reads BEFORE the Arrow boundary:
+    # segment_start/segment_end/n_points are retention/bookkeeping
+    # metadata the decode never touches, and mapInPandas serializes
+    # every input column it is handed
+    cols = [c for c in ("conv_id", "tier", "payload", "crc32")
+            if c in segments.columns]
+    segments = segments.select(*cols)
 
     def dec(it):
         for pdf in it:
