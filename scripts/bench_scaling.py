@@ -56,8 +56,20 @@ n_turns = raw.count()  # warm the OS page cache identically at both levels
 common = ["conv_id", "tier", "bucket_start", "n_turns",
           "latency_p50", "latency_sum", "n_latency"]
 
+# Mirror the production pipeline (plans/pipeline.py:190): the shared
+# normalized + latency-annotated lineage is persisted ONCE and every
+# tier branch reads the cached partitions, instead of re-running
+# scan -> shuffle -> window-sort per branch. Caching defeats Catalyst
+# column pruning, so prune to the columns the rollup branches consume
+# BEFORE persisting (text never enters the cache).
+lat_cached = (
+    with_latency(normalize(raw.repartition(cores * 4, "conv_id")))
+    .select("conv_id", "turn_idx", "ts", "role", "latency_s")
+    .persist()
+)
+
 def build():
-    lat = with_latency(normalize(raw.repartition(cores * 4, "conv_id")))
+    lat = lat_cached
     outs = []
     for tier in ("1m", "1h", "1d", "30d"):
         outs.append(rollup_tier_salted(lat, tier, n_salts=8).select(*common))
@@ -77,6 +89,7 @@ t0 = time.perf_counter()
 build().write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
 points = build().count()
+lat_cached.unpersist()
 print(json.dumps({{"master": master, "seconds": round(dt, 2),
                   "turns": n_turns, "points": points,
                   "points_per_sec": round(points / dt, 1),
