@@ -115,6 +115,9 @@ def cmd_minhash() -> None:
     stage("signatures(noop)", lambda: _noop(
         D.minhash_signatures(docs, "doc_id", "text", 64, 5)
     ))
+    stage("signatures rep2", lambda: _noop(
+        D.minhash_signatures(docs, "doc_id", "text", 64, 5)
+    ))
     sigs = (
         D.minhash_signatures(docs, "doc_id", "text", 64, 5)
         .where(F.col("_sig").isNotNull())
@@ -126,19 +129,23 @@ def cmd_minhash() -> None:
     paired = (
         a_side.select(
             "band", "bh", F.col("_id").alias("doc_a"),
-            F.col("_sig").alias("_siga"),
+            *D._packed_screen_cols(F.col("_sig"), "_a", 64),
         )
         .join(
             b_side.select(
                 "band", "bh", F.col("_id").alias("doc_b"),
-                F.col("_sig").alias("_sigb"),
+                *D._packed_screen_cols(F.col("_sig"), "_b", 64),
             ),
             ["band", "bh"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
     )
-    stage("paired count", lambda: paired.count())
-    stage("paired(noop, carries sigs)", lambda: _noop(paired))
+    screened = paired.where(
+        D._screen_agree(64) >= F.lit(35)
+    ).select("doc_a", "doc_b")
+    stage("join+screen(noop)", lambda: _noop(screened))
+    stage("join+screen rep2", lambda: _noop(screened))
+    stage("screen distinct count", lambda: screened.distinct().count())
     stage("full minhash_lsh_dedup(noop)", lambda: _noop(
         D.minhash_lsh_dedup(docs, n_hashes=64, bands=16, k=5, threshold=0.8)
     ))

@@ -12,11 +12,13 @@ Scale design:
   stay JVM-side (``array_intersect``/``array_union``).
 - MinHash+LSH: the SCALE path. The whole signature (shingles +
   token_hash62 + 64 Carter–Wegman mixes + mins) is ONE Arrow kernel, no
-  shuffle; the band self-join CARRIES the signature arrays (shuffle
-  keyed on (band, band_hash) — skew-safe because buckets are
-  hash-random, and no join-back against a doc-count-sized signature
-  table), the vectorized estimate screen cuts candidates, and only the
-  surviving docs are shingled for exact-Jaccard verification. Recall
+  shuffle; the band self-join CARRIES only the PACKED screen bytes of
+  the signature (10 longs/row — shuffle keyed on (band, band_hash),
+  skew-safe because buckets are hash-random, and no join-back against a
+  doc-count-sized signature table), the codegen'd byte-agreement screen
+  cuts candidates inside the join stage (superset of the exact
+  component screen — see ``_screen_agree``), and only the surviving
+  docs are shingled for exact-Jaccard verification. Recall
   for jaccard >= 0.8 at 64/16 banding is 1 - (1-0.8^4)^16 ≈ 0.9998.
 - SimHash: 62-bit signature via per-bit majority of token hashes;
   near-dups = signatures within Hamming distance d (banded by 16-bit
@@ -345,6 +347,68 @@ def star_cap_report(
     )
 
 
+_SCREEN_LANES = 7
+# components per packed screen long. 7 byte lanes leave the top byte of
+# every packed long zero, so the zero-byte-detect subtraction below can
+# never overflow int64 (Spark 4 runs ANSI mode: a wrapped `x - LOW`
+# raises ARITHMETIC_OVERFLOW; with x >= 0 and x < 2^56 it cannot wrap).
+
+
+def _packed_screen_cols(sig: Column, prefix: str, n_hashes: int) -> list:
+    """Pack the low byte of each signature component into 64-bit lanes —
+    ``ceil(n_hashes/7)`` BIGINT columns of 7 byte-lanes each.
+
+    The band join's candidate screen only needs an agreement-count
+    LOWER-BOUND test (survivors are exact-Jaccard verified afterwards),
+    and equal components always have equal low bytes, so screening on
+    packed bytes admits a SUPERSET of the exact component screen —
+    identical final output, with ~6x fewer shuffle bytes per banded row
+    (10 longs vs a 64-long array) and a compact codegen'd predicate
+    instead of either a 64-term GetArrayItem chain (observed to drop the
+    SortMergeJoin condition out of compiled execution: 43 s vs 3.3 s at
+    sf1.0) or the r5 Arrow kernel (~1 KB/candidate across the Python
+    boundary; 11.06M candidates at sf1.0)."""
+    cols = []
+    per = _SCREEN_LANES
+    for j in range(-(-n_hashes // per)):
+        lanes = min(per, n_hashes - j * per)
+        b = None
+        for i in range(lanes):
+            term = F.shiftleft(
+                sig.getItem(j * per + i).bitwiseAND(F.lit(255)), i * 8
+            )
+            b = term if b is None else b.bitwiseOR(term)
+        cols.append(b.alias(f"{prefix}{j}"))
+    return cols
+
+
+def _screen_agree(n_hashes: int) -> Column:
+    """Byte-agreement count between the ``_a{j}``/``_b{j}`` packed
+    columns: per long, XOR then the branchless zero-byte detector
+    ``(x - 0x01..01) & ~x & 0x80..80`` and ``bit_count``. The borrow
+    chain of the subtraction can overcount (flag a nonzero byte next to
+    a zero byte) but NEVER undercount — a zero byte always keeps its
+    high indicator bit — so the count is >= the true byte agreement,
+    which is >= the true component agreement: the screen stays a
+    superset filter. Intra-JVM only (never crosses engines), so rule 4
+    int-fold discipline does not apply."""
+    per = _SCREEN_LANES
+    agree = None
+    for j in range(-(-n_hashes // per)):
+        lanes = min(per, n_hashes - j * per)
+        low = sum(0x01 << (8 * i) for i in range(lanes))
+        high = sum(0x80 << (8 * i) for i in range(lanes))
+        x = F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}"))
+        hz = (
+            (x - F.lit(low))
+            .bitwiseAND(F.bitwise_not(x))
+            .bitwiseAND(F.lit(high))
+        )
+        t = F.bit_count(hz)
+        agree = t if agree is None else agree + t
+    return agree
+
+
 def minhash_banded(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """Explode minhash signatures into (band, bucket-hash) rows,
     carrying the signature through (no join-back). ``sigs`` is the
@@ -404,13 +468,15 @@ def minhash_lsh_dedup(
 
     On self-similar corpora the banding emits many low-similarity
     candidates (a shared-vocabulary corpus produced 500k candidates for
-    ~250 true pairs at 5000 docs). Before the expensive exact set
-    intersection, candidates are screened by the minhash ESTIMATE of
-    jaccard (fraction of agreeing signature components — 64 integer
-    comparisons): a true j>=0.8 pair passes est>=0.55 with
-    P(miss) ~ 1e-6 (Binomial(64, 0.8) below 36), while j<=0.3 noise
-    passes with P ~ 3e-5. Exact verification then runs on the survivors
-    only (measured 74.5s -> ~15s at 5000 docs).
+    ~250 true pairs at 5000 docs; 11.06M at 50k docs). Before the
+    expensive exact set intersection, candidates are screened by the
+    minhash ESTIMATE of jaccard (byte-agreement lower-bound test over
+    the packed signature bytes — a superset of the exact 64-component
+    screen, see :func:`_screen_agree`): a true j>=0.8 pair passes
+    est>=0.55 with P(miss) ~ 1e-6 (Binomial(64, 0.8) below 36), while
+    j<=0.3 noise passes with P ~ 3e-5 (+1/256-per-component byte-
+    collision noise, still negligible). Exact verification then runs on
+    the survivors only (measured 74.5s -> ~15s at 5000 docs).
 
     ``bucket_cap`` bounds per-(band, bucket) candidate generation via
     :func:`_star_cap_sides`: clique pairing below the cap (exact LSH
@@ -437,7 +503,6 @@ def minhash_lsh_dedup(
     )
 
     est_min = int((threshold - 0.25) * n_hashes)
-    id_type = sigs.schema["_id"].dataType.simpleString()
     # carry the signatures THROUGH the band self-join (the simhash
     # shape): one shuffle per side keyed (band, bucket-hash), no
     # join-back against the signature table afterwards — the previous
@@ -449,23 +514,32 @@ def minhash_lsh_dedup(
     banded = minhash_banded(sigs, n_hashes, bands)
     a_side, b_side = _star_cap_sides(banded, ("band", "bh"), "_id",
                                      bucket_cap)
+    # the join sides carry the PACKED screen bytes (10 longs/row), not
+    # the 64-long signature array (~530 B/row): the screen decides with
+    # small rows (guide §8) and the heavy signatures never shuffle
     paired = (
         a_side.select(
-            "band", "bh",
-            F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga"),
+            "band", "bh", F.col("_id").alias("doc_a"),
+            *_packed_screen_cols(F.col("_sig"), "_a", n_hashes),
         )
         .join(
+            # SHUFFLE_HASH: skips the per-partition sort of both sides
+            # (measured −12% on the join+screen stage at sf1.0). The
+            # build side is one shuffle partition of the narrow packed
+            # rows (~100 B/row), sized by spark.sql.shuffle.partitions
+            # on a cluster — bounded, and per-(band,bh) buckets are
+            # already capped by the star cap.
             b_side.select(
-                "band", "bh",
-                F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb"),
-            ),
+                "band", "bh", F.col("_id").alias("doc_b"),
+                *_packed_screen_cols(F.col("_sig"), "_b", n_hashes),
+            ).hint("SHUFFLE_HASH"),
             ["band", "bh"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
     )
 
     return _screen_verify(
-        paired, docs, id_col, text_col, k, threshold, est_min, id_type
+        paired, docs, id_col, text_col, k, threshold, est_min, n_hashes
     )
 
 
@@ -477,35 +551,28 @@ def _screen_verify(
     k: int,
     threshold: float,
     est_min: int,
-    id_type: str,
+    n_hashes: int,
 ) -> DataFrame:
     """Shared tail of the batch and incremental minhash pipelines:
-    vectorized signature-agreement screen over candidate rows
-    (``doc_a, doc_b, _siga, _sigb``), then exact-Jaccard verification
-    that shingles ONLY the screen survivors (looked up in ``docs``)."""
-    # agreement count as ONE vectorized kernel per Arrow batch: the
-    # zip_with + aggregate expression form is interpreted per element
-    # (rule 11) — 64 boxed comparisons per candidate row dominated the
-    # screen at 100k+ candidates.
-    def _screen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.stack(pdf["_siga"].to_numpy())
-            b = np.stack(pdf["_sigb"].to_numpy())
-            agree = (a == b).sum(axis=1)
-            keep = agree >= est_min
-            yield pd.DataFrame(
-                {"doc_a": pdf["doc_a"][keep], "doc_b": pdf["doc_b"][keep]}
-            )
+    packed-byte agreement screen over candidate rows (``doc_a, doc_b``
+    plus the ``_a{j}``/``_b{j}`` packed columns from
+    :func:`_packed_screen_cols`), then exact-Jaccard verification that
+    shingles ONLY the screen survivors (looked up in ``docs``).
 
+    The byte screen admits a superset of the exact component-agreement
+    screen (see :func:`_screen_agree`); since survivors are decided by
+    the exact-Jaccard filter below, the final output is bit-identical
+    while the screen itself is a compact compiled predicate evaluated
+    inside the band join's stage — no Python boundary, no wide rows
+    (the r5 Arrow screen moved ~1 KB per candidate, 11.06M candidates
+    at sf1.0)."""
     # materialized: both exact-verify joins consume it, and the
     # survivors drive the semi-join below. distinct() here dedups the
     # multi-band duplicates on the post-screen survivor set (a few
     # hundred rows) instead of the full candidate stream.
     screened = (
-        paired.select("doc_a", "doc_b", "_siga", "_sigb")
-        .mapInPandas(_screen, f"doc_a {id_type}, doc_b {id_type}")
+        paired.where(_screen_agree(n_hashes) >= F.lit(est_min))
+        .select("doc_a", "doc_b")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -629,25 +696,24 @@ def minhash_lsh_increment(
                                      bucket_cap)
     paired = (
         a_side.select(
-            "band", "bh",
-            F.col("_id").alias("doc_a"), F.col("_sig").alias("_siga"),
+            "band", "bh", F.col("_id").alias("doc_a"),
             F.col("_new").alias("_newa"),
+            *_packed_screen_cols(F.col("_sig"), "_a", n_hashes),
         )
         .join(
             b_side.select(
-                "band", "bh",
-                F.col("_id").alias("doc_b"), F.col("_sig").alias("_sigb"),
+                "band", "bh", F.col("_id").alias("doc_b"),
                 F.col("_new").alias("_newb"),
-            ),
+                *_packed_screen_cols(F.col("_sig"), "_b", n_hashes),
+            ).hint("SHUFFLE_HASH"),  # see minhash_lsh_dedup
             ["band", "bh"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(F.col("_newa") | F.col("_newb"))
     )
     est_min = int((threshold - 0.25) * n_hashes)
-    id_type = sigs_new.schema["_id"].dataType.simpleString()
     pairs = _screen_verify(
-        paired, docs, id_col, text_col, k, threshold, est_min, id_type
+        paired, docs, id_col, text_col, k, threshold, est_min, n_hashes
     )
     return pairs, new_banded
 

@@ -571,6 +571,12 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        # materialized once: the gate + text-window dedup feeds THREE
+        # consumers (minhash signatures, the verify stage's docs lookup,
+        # dedup_corpus's anti-join) and recomputed per consumer (rule
+        # 10 — no ReusedExchange across differently-pruned branches).
+        # localCheckpoint (not persist) per rule 19.
+        .localCheckpoint(eager=False)
     )
     out = dedup_corpus(uniq, minhash_lsh_dedup(uniq))
     return out.select("doc_id", "n_chars", "quality")
