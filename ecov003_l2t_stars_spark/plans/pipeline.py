@@ -97,6 +97,17 @@ class RollupConfig:
     # branches); measured 3x SLOWER on a single local JVM (threads thrash
     # one block manager / shuffle disk), so off by default here.
     parallel_tiers: bool = False
+    # overlap the per-tier WRITE actions (rollup/payload/state sinks) on
+    # a small driver thread pool while the main thread plans the next
+    # tier (guide §2.6: submit independent jobs so the next job's tasks
+    # back-fill executors freed by the current job's tail). Unlike
+    # parallel_tiers this never runs two tier BUILDS concurrently — the
+    # shared lineage is persisted, and concurrent first-consumers dedup
+    # block computation via BlockManager locking. 0/1 = sequential.
+    # Measured at sf1.0 (10.7M turns, local[32], interleaved reps):
+    # sequential ~39-44 s, 2 workers ~27-30, 4 ~24-26, 6 ~23-26 —
+    # 4 keeps the guide's "2-3 jobs in flight" posture with the win.
+    overlap_writes: int = 4
     # digest cascade: aggregate raw turns ONCE (finest tier, with sorted
     # latency digests) and derive every coarser tier by merging digests —
     # exact for ALL statistics incl. percentiles (property-tested), and
@@ -170,7 +181,17 @@ class RollupJob:
             return {"buckets_processed": 0, "rows_processed": 0}
 
         raw = self.spark.read.parquet(cfg.input_path)
-        bucketed = raw.withColumn(
+        # prune to the columns the rollup branches consume BEFORE the
+        # repartition exchange and the persist (rule 23: caching defeats
+        # Catalyst column pruning, so an unpruned persist would carry —
+        # and the exchange would shuffle — the ~300 B/row text payload
+        # that no tier statistic reads: ~3.2 GB of dead shuffle+cache
+        # bytes at sf1.0). normalize()'s dropDuplicates key survives the
+        # prune (duplicates are exact row copies, FIXTURES.md), and
+        # turn_idx stays for the latency ordering + the salted path's
+        # salt hash.
+        pruned_cols = ["conv_id", "turn_idx", "role", "ts"]
+        bucketed = raw.select(*pruned_cols).withColumn(
             "conv_bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"),
         ).where(F.col("conv_bucket").isin(remaining))
@@ -239,7 +260,7 @@ class RollupJob:
             _persisted.append(out)
             return out
 
-        def process_tier(tier: str) -> None:
+        def process_tier(tier: str, submit) -> None:
             # persisted either way: gap_fill consumes the tier twice
             # (grid spans + observations), the payload encoder a third
             # time, and the digest chain a fourth
@@ -259,36 +280,65 @@ class RollupJob:
                 out_df = smooth_tier(filled, tier, params=cfg.kalman).persist()
                 _persisted.append(out_df)
                 state = posterior_state(out_df, tier, as_of)
-                with self._state_lock:
-                    # appends share one output dir; concurrent jobs would
-                    # race on the committer's _temporary workspace
-                    self.fmt.append(state, str(self.out / "rollup_state"))
+
+                def _append_state(state=state):
+                    with self._state_lock:
+                        # appends share one output dir; concurrent jobs
+                        # would race on the committer's _temporary dir
+                        self.fmt.append(state, str(self.out / "rollup_state"))
+
+                submit(_append_state)
             else:
                 out_df = tier_df
 
-            self.fmt.overwrite_partitions(
-                out_df.withColumn("conv_bucket", _bucket_col()),
-                str(self.out / f"rollup_{tier}"),
-                partition_col="conv_bucket",
-                sort_cols=("conv_id", "bucket_start"),
-            )
+            def _write_rollup(out_df=out_df, tier=tier):
+                self.fmt.overwrite_partitions(
+                    out_df.withColumn("conv_bucket", _bucket_col()),
+                    str(self.out / f"rollup_{tier}"),
+                    partition_col="conv_bucket",
+                    sort_cols=("conv_id", "bucket_start"),
+                )
 
-            segs = encode_payloads(tier_df, tier, cfg.payload_col)
-            self.fmt.overwrite_partitions(
-                segs.withColumn("conv_bucket", _bucket_col()),
-                str(self.out / f"payload_{tier}"),
-                partition_col="conv_bucket",
-            )
+            def _write_payload(tier_df=tier_df, tier=tier):
+                segs = encode_payloads(tier_df, tier, cfg.payload_col)
+                self.fmt.overwrite_partitions(
+                    segs.withColumn("conv_bucket", _bucket_col()),
+                    str(self.out / f"payload_{tier}"),
+                    partition_col="conv_bucket",
+                )
+
+            submit(_write_rollup)
+            submit(_write_payload)
 
         if cfg.parallel_tiers and not cfg.cascade_coarse and len(cfg.tiers) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(cfg.tiers)) as pool:
                 # surface the first failure (list() re-raises)
-                list(pool.map(process_tier, cfg.tiers))
+                list(
+                    pool.map(
+                        lambda t: process_tier(t, lambda fn: fn()), cfg.tiers
+                    )
+                )
+        elif cfg.overlap_writes and cfg.overlap_writes > 1:
+            # sink jobs run on a small pool so the next tier's build
+            # back-fills the tail of the previous tier's writes; builds
+            # stay sequential and every write lands before the
+            # checkpoint below (futures joined here, first error
+            # re-raised). FIFO scheduling keeps the earlier write ahead.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=cfg.overlap_writes) as pool:
+                futures = []
+                for tier in cfg.tiers:
+                    process_tier(tier, lambda fn: futures.append(
+                        pool.submit(fn)
+                    ))
+                for f in futures:
+                    f.result()
         else:
             for tier in cfg.tiers:
-                process_tier(tier)
+                process_tier(tier, lambda fn: fn())
 
         # checkpoint rows: one per processed bucket, written AFTER the tier
         # partitions land (write-then-checkpoint = at-least-once, idempotent
