@@ -552,6 +552,7 @@ def _screen_verify(
     threshold: float,
     est_min: int,
     n_hashes: int,
+    pushdown_ids: bool = False,
 ) -> DataFrame:
     """Shared tail of the batch and incremental minhash pipelines:
     packed-byte agreement screen over candidate rows (``doc_a, doc_b``
@@ -582,21 +583,58 @@ def _screen_verify(
     # full-corpus shingle table twice to verify a few hundred pairs
     # dominated the whole operator (measured 4.8s of a 3.4s... the
     # verify stage alone exceeded everything else combined at sf0.1).
-    pair_ids = (
-        screened.select(F.col("doc_a").alias("_id"))
-        .union(screened.select(F.col("doc_b").alias("_id")))
-        .distinct()
-    )
-    sh = shingle_table(
-        docs.join(
+    #
+    # Two lookup shapes:
+    # - default (lazy): left-semi against ``docs`` — keeps the operator
+    #   a pure plan builder, but the semi-join SCANS the docs table
+    #   with no pushdown. Fine for one-shot batch runs.
+    # - ``pushdown_ids=True`` (incremental/streaming): collect the
+    #   survivor id set — screen survivors are a few hundred rows by
+    #   construction (metadata-scale; this makes the builder EAGER) —
+    #   and filter ``docs`` with an ``isin`` predicate that reaches the
+    #   parquet scan as ``PushedFilters: In(doc_id, ...)``, so a
+    #   doc-id-clustered corpus prunes files/row-groups instead of
+    #   rescanning the whole table every micro-batch (VERDICT r5 #3:
+    #   the per-increment full docs scan was the one scale hole).
+    if pushdown_ids:
+        id_rows = (
+            screened.select(F.col("doc_a").alias("_id"))
+            .union(screened.select(F.col("doc_b").alias("_id")))
+            .distinct()
+            .collect()
+        )
+        ids = sorted(r["_id"] for r in id_rows)
+        if not ids:
+            id_type = docs.schema[id_col].dataType.simpleString()
+            return docs.sparkSession.createDataFrame(
+                [], f"doc_a {id_type}, doc_b {id_type}, jaccard double"
+            )
+        survivors = docs.where(F.col(id_col).isin(ids))
+    else:
+        pair_ids = (
+            screened.select(F.col("doc_a").alias("_id"))
+            .union(screened.select(F.col("doc_b").alias("_id")))
+            .distinct()
+        )
+        survivors = docs.join(
             pair_ids, F.col(id_col) == pair_ids["_id"], "left_semi"
-        ),
+        )
+    sh = shingle_table(
+        survivors,
         id_col,
         text_col,
         k,
         spread=False,  # joined input: the partition probe would force
         # AQE to run the whole screen pipeline at plan-BUILD time
-    ).localCheckpoint(eager=False)
+    )
+    if not pushdown_ids:
+        # semi-join form: materialize once — both verify joins consume
+        # it and each would otherwise re-run the corpus-wide semi-join.
+        # The pushdown form skips the checkpoint: its input is already
+        # a pruned id-predicate scan of a few hundred docs (recomputing
+        # that twice is cheaper than a checkpoint job, and the In()
+        # pushdown stays visible in the final plan).
+        sh = sh.localCheckpoint(eager=False)
     joined = (
         screened.join(
             sh.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sh", "_sha"),
@@ -648,6 +686,8 @@ def minhash_lsh_increment(
     k: int = 5,
     threshold: float = 0.8,
     bucket_cap: int | None = 1000,
+    new_banded: DataFrame | None = None,
+    collect_verify_ids: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup: returns ``(pairs, new_store_rows)`` where
     ``pairs`` are the near-dup pairs TOUCHING the new batch (new-new and
@@ -675,13 +715,27 @@ def minhash_lsh_increment(
     looked up in ``docs`` (the corpus including the new batch — old
     survivors need their text for the exact-Jaccard check, exactly as
     the full recompute would).
+
+    ``new_banded`` — a precomputed :func:`minhash_signature_store` of
+    the batch (``_id, _sig, band, bh``): callers that already built the
+    batch's banded signatures (the streaming harness computes them to
+    derive the store's partition-prune set) pass them here so the batch
+    is shingled exactly once.
+
+    ``collect_verify_ids=True`` bounds the verification lookup: the
+    screen-survivor id set (a few hundred rows) is collected and pushed
+    into the ``docs`` scan as an ``isin`` predicate, so a
+    doc-id-clustered corpus prunes at the scan instead of being fully
+    re-scanned every increment. Makes this builder EAGER (it runs the
+    band join); the emitted pairs are identical.
     """
-    sigs_new = (
-        minhash_signatures(new_docs, id_col, text_col, n_hashes, k)
-        .where(F.col("_sig").isNotNull())
-        .localCheckpoint(eager=False)
-    )
-    new_banded = minhash_banded(sigs_new, n_hashes, bands)
+    if new_banded is None:
+        sigs_new = (
+            minhash_signatures(new_docs, id_col, text_col, n_hashes, k)
+            .where(F.col("_sig").isNotNull())
+            .localCheckpoint(eager=False)
+        )
+        new_banded = minhash_banded(sigs_new, n_hashes, bands)
 
     touched = new_banded.select("band", "bh").distinct()
     old_in_touched = store.join(touched, ["band", "bh"], "left_semi")
@@ -713,7 +767,8 @@ def minhash_lsh_increment(
     )
     est_min = int((threshold - 0.25) * n_hashes)
     pairs = _screen_verify(
-        paired, docs, id_col, text_col, k, threshold, est_min, n_hashes
+        paired, docs, id_col, text_col, k, threshold, est_min, n_hashes,
+        pushdown_ids=collect_verify_ids,
     )
     return pairs, new_banded
 

@@ -9,10 +9,20 @@ feeds it micro-batches and keeps the three tables it needs:
 
 - ``docs``      — full corpus text (verification shingles for OLD
                   survivors must be re-readable; the full recompute
-                  needs exactly the same rows)
-- ``sig_store`` — banded minhash signatures, one row per (doc, band);
-                  the ONLY state the band join touches, so per-batch
-                  cost scales with the batch, not the corpus
+                  needs exactly the same rows). The increment collects
+                  its screen-survivor ids and pushes them into this
+                  scan as an ``isin`` predicate
+                  (``collect_verify_ids=True``), so per-batch
+                  verification reads only the survivors' files/row
+                  groups instead of rescanning the corpus.
+- ``sig_store`` — banded minhash signatures, one row per (doc, band),
+                  laid out ``band=*/_bhb=*/_batch_id=*`` where
+                  ``_bhb = pmod(bh, store_buckets)``: the increment
+                  filters the store scan with a PARTITION-column
+                  predicate built from the batch's touched buckets, so
+                  pruning happens at scan planning (directories never
+                  listed), and the left-semi on exact ``(band, bh)``
+                  only refines batch-sized remainders.
 - ``pairs``     — near-dup pairs emitted so far (new-new + new-old per
                   batch); their union over batches equals the
                   full-corpus recompute bit-for-bit (see the
@@ -20,19 +30,13 @@ feeds it micro-batches and keeps the three tables it needs:
                   ``bucket_cap`` caveat)
 
 Exactly-once: ``foreachBatch`` re-runs a micro-batch after failures,
-so every write is keyed by ``_batch_id`` and applied as a
-dynamic-partition overwrite of ONLY that batch's partition — the
+so every write carries a ``_batch_id`` partition column and is applied
+as a dynamic-partition overwrite of ONLY that batch's partitions — the
 standard Spark idempotent-replay pattern (Structured Streaming guide,
 "foreachBatch ... reprocessing"). A replayed batch overwrites its own
 partitions with identical deterministic content instead of appending
 duplicates; the signature pipeline is deterministic by construction
 (hash mixes are seeded constants).
-
-At 100-TB scale the store is the table to bucket: write it clustered
-by ``(band, bh)`` so the increment's left-semi bucket pruning becomes
-a scan-level prune (the batch API's contract); the stream here keeps
-the partition-by-batch layout and relies on the semi-join, which is
-still batch-sized.
 
 Reference analog: the daily advance that processes only new dates
 against carried state (``L2T_STARS.py:328-335``); the streaming twin
@@ -45,6 +49,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ecov003_l2t_stars_spark.operators.dedup import (
     minhash_lsh_increment,
@@ -55,26 +60,32 @@ PAIRS_SCHEMA = "doc_a long, doc_b long, jaccard double"
 
 
 def _overwrite_batch_partition(
-    df: DataFrame, path: str, batch_id: int
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    partition_cols: tuple[str, ...] = ("_batch_id",),
 ) -> None:
-    """Idempotent per-batch write: dynamic overwrite of exactly this
-    batch's ``_batch_id=<n>`` partition (a replay replaces it)."""
+    """Idempotent per-batch write: dynamic overwrite of exactly the
+    partitions this batch produces (a replay regenerates the identical
+    deterministic content and replaces them). ``partition_cols`` must
+    end with ``_batch_id`` so no two batches share a partition."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.withColumn("_batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
-        .partitionBy("_batch_id")
+        .partitionBy(*partition_cols)
         .parquet(path)
     )
 
 
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
-    return (
-        spark.read.parquet(path)
-        if any(Path(path).glob("_batch_id=*"))
-        else None
-    )
+    """Filesystem-agnostic existence probe: ask the reader instead of
+    globbing a local ``Path`` (which breaks on any object store)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 
 def near_dup_sink(
@@ -87,6 +98,7 @@ def near_dup_sink(
     k: int = 5,
     threshold: float = 0.8,
     bucket_cap: int | None = 1000,
+    store_buckets: int = 64,
 ):
     """Build the ``foreachBatch`` callable for a document stream.
 
@@ -99,9 +111,10 @@ def near_dup_sink(
              .start())
 
     Tables land under ``state_dir``: ``docs/``, ``sig_store/``,
-    ``pairs/`` — each partitioned by ``_batch_id`` for idempotent
-    replay. Read results with
-    ``spark.read.parquet(f"{state_dir}/pairs")``.
+    ``pairs/``. ``docs`` and ``pairs`` are partitioned by ``_batch_id``
+    for idempotent replay; ``sig_store`` is additionally clustered by
+    ``(band, _bhb)`` so increments prune it at the scan. Read results
+    with ``spark.read.parquet(f"{state_dir}/pairs")``.
     """
     docs_path = str(Path(state_dir) / "docs")
     store_path = str(Path(state_dir) / "sig_store")
@@ -113,21 +126,44 @@ def near_dup_sink(
         batch = batch_df.select(id_col, text_col).localCheckpoint(
             eager=True
         )
-        if batch.rdd.isEmpty():
+        if batch.limit(1).isEmpty():  # DataFrame-native (no RDD detour)
             return
         # 1. corpus text first (verification reads it back, and a
         #    crash after this write is healed by the replay overwrite)
         _overwrite_batch_partition(batch, docs_path, batch_id)
 
-        # 2. prior state: signatures of every earlier batch. A replay
-        #    of batch N must not see N's own signatures as "old" —
-        #    filter, don't just read (the overwrite in step 4 hasn't
-        #    happened yet on first run, but HAS on a replay).
+        # 2. the batch's banded signatures, computed ONCE: they are the
+        #    store delta, the new side of the band join, and the source
+        #    of the store's partition-prune set
+        new_rows = minhash_signature_store(
+            batch, id_col, text_col, n_hashes, bands, k
+        ).withColumn(
+            "_bhb", F.pmod(F.col("bh"), F.lit(store_buckets)).cast("int")
+        ).localCheckpoint(eager=True)
+
+        # 3. prior state, pruned at SCAN PLANNING time: a replay of
+        #    batch N must not see N's own signatures as "old" (filter
+        #    on the partition column), and only partitions whose
+        #    (band, _bhb) the batch touches are read at all — the
+        #    touched set is metadata-scale (<= bands * store_buckets).
         store = _read_if_exists(spark, store_path)
         if store is not None:
-            store = store.where(
-                F.col("_batch_id") != int(batch_id)
-            ).drop("_batch_id")
+            touched = {
+                (r["band"], r["_bhb"])
+                for r in new_rows.select("band", "_bhb").distinct().collect()
+            }
+            by_band: dict[int, list[int]] = {}
+            for band, bhb in sorted(touched):
+                by_band.setdefault(band, []).append(bhb)
+            prune = None
+            for band, bhbs in by_band.items():
+                term = (F.col("band") == band) & F.col("_bhb").isin(bhbs)
+                prune = term if prune is None else prune | term
+            store = (
+                store.where(F.col("_batch_id") != int(batch_id))
+                .where(prune if prune is not None else F.lit(False))
+                .drop("_batch_id", "_bhb")
+            )
         else:
             store = minhash_signature_store(
                 spark.createDataFrame(
@@ -139,15 +175,20 @@ def near_dup_sink(
         docs_all = spark.read.parquet(docs_path).where(
             F.col("_batch_id") <= int(batch_id)
         ).drop("_batch_id")
-        pairs, new_rows = minhash_lsh_increment(
+        pairs, _ = minhash_lsh_increment(
             batch, store, docs_all,
             id_col=id_col, text_col=text_col, n_hashes=n_hashes,
             bands=bands, k=k, threshold=threshold,
             bucket_cap=bucket_cap,
+            new_banded=new_rows.drop("_bhb"),
+            collect_verify_ids=True,
         )
-        # 3+4. emit this batch's pairs and its store delta
+        # 4+5. emit this batch's pairs and its store delta
         _overwrite_batch_partition(pairs, pairs_path, batch_id)
-        _overwrite_batch_partition(new_rows, store_path, batch_id)
+        _overwrite_batch_partition(
+            new_rows, store_path, batch_id,
+            partition_cols=("band", "_bhb", "_batch_id"),
+        )
 
     return process
 

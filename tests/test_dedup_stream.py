@@ -70,6 +70,20 @@ def test_streaming_near_dup_matches_batch_recompute(
         F.col("text").isNotNull()
     ).count()
 
+    # r6 (VERDICT r5 #4): the store's physical layout is clustered by
+    # (band, _bhb) so the increment's touched-bucket predicate prunes at
+    # scan planning — assert the directory scheme and that a
+    # partition-column predicate lands in PartitionFilters, not as a
+    # post-scan Filter over data columns.
+    from pathlib import Path
+
+    band_dirs = list(Path(state_dir, "sig_store").glob("band=*"))
+    assert band_dirs, "store must be partitioned by band"
+    assert list(band_dirs[0].glob("_bhb=*")), "store must bucket bh"
+    pruned = store.where((F.col("band") == 0) & F.col("_bhb").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan
+
 
 def test_replayed_batch_is_idempotent(spark, docs, tmp_path):
     """foreachBatch re-delivery: running the sink twice with the same
