@@ -254,6 +254,7 @@ def _star_cap_sides(
     id_c: str,
     bucket_cap: int | None,
     via_window: bool = False,
+    cap_observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bound per-bucket pair generation in a banded self-join.
 
@@ -294,6 +295,24 @@ def _star_cap_sides(
     """
     if bucket_cap is None:
         return banded, banded
+
+    def _observe_b(b_side: DataFrame, degraded) -> DataFrame:
+        # free degradation telemetry (VERDICT r5 #9): rows belonging to
+        # star-degraded buckets counted as the b-side flows through its
+        # own filter — no separate cap_report pass. cap_star_rows == 0
+        # certifies a pair-exact run; > 0 means pair recall degraded to
+        # the star contract in that many member rows (component
+        # connectivity always preserved). One aggregate on an existing
+        # stage: costs nothing observable.
+        if cap_observation is None:
+            return b_side
+        return b_side.observe(
+            cap_observation,
+            F.coalesce(
+                F.sum(F.when(degraded, 1)), F.lit(0)
+            ).alias("cap_star_rows"),
+        )
+
     if via_window:
         w = Window.partitionBy(*keys)
         tagged = banded.withColumn(
@@ -305,7 +324,10 @@ def _star_cap_sides(
         ).drop("_bsz", "_brep")
         b_side = tagged.where(
             small | (F.col(id_c) != F.col("_brep"))
-        ).drop("_bsz", "_brep")
+        )
+        b_side = _observe_b(b_side, F.col("_bsz") > bucket_cap).drop(
+            "_bsz", "_brep"
+        )
         return a_side, b_side
     over = (
         banded.groupBy(*keys)
@@ -322,7 +344,8 @@ def _star_cap_sides(
     ).drop("_brep")
     b_side = tagged.where(
         F.col("_brep").isNull() | (F.col(id_c) != F.col("_brep"))
-    ).drop("_brep")
+    )
+    b_side = _observe_b(b_side, F.col("_brep").isNotNull()).drop("_brep")
     return a_side, b_side
 
 
@@ -462,6 +485,7 @@ def minhash_lsh_dedup(
     k: int = 5,
     threshold: float = 0.8,
     bucket_cap: int | None = 1000,
+    cap_observation=None,
 ) -> DataFrame:
     """Scale-path near-dup pairs: LSH candidates, signature pre-filter,
     exact-Jaccard verification.
@@ -513,7 +537,8 @@ def minhash_lsh_dedup(
     # survivor set instead.
     banded = minhash_banded(sigs, n_hashes, bands)
     a_side, b_side = _star_cap_sides(banded, ("band", "bh"), "_id",
-                                     bucket_cap)
+                                     bucket_cap,
+                                     cap_observation=cap_observation)
     # the join sides carry the PACKED screen bytes (10 longs/row), not
     # the 64-long signature array (~530 B/row): the screen decides with
     # small rows (guide §8) and the heavy signatures never shuffle
@@ -883,6 +908,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bucket_cap: int | None = 1000,
+    cap_observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded by 16-bit blocks
     (any pair with distance <= 3 agrees on at least one of 4 blocks —
@@ -902,7 +928,8 @@ def simhash_near_pairs(
     sigs = simhash(docs, id_col, text_col).localCheckpoint(eager=False)
     blocks = simhash_blocks(sigs)
     a_side, b_side = _star_cap_sides(blocks, ("blk", "bv"), "doc_id",
-                                     bucket_cap, via_window=True)
+                                     bucket_cap, via_window=True,
+                                     cap_observation=cap_observation)
     l = a_side.select("blk", "bv", F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("_sa"))
     r = b_side.select("blk", "bv", F.col("doc_id").alias("doc_b"),

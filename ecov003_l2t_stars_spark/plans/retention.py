@@ -262,8 +262,23 @@ def prune_state(
     df = fmt.read(spark, path)
     w = Window.partitionBy("conv_id", "tier").orderBy(F.col("as_of").desc())
     ranked = df.withColumn("_rn", F.row_number().over(w))
-    n_stale = ranked.where(F.col("_rn") > keep_last).count()
-    if n_stale == 0:
-        return 0
-    fmt.rewrite(ranked.where(F.col("_rn") <= keep_last).drop("_rn"), path)
-    return n_stale
+    # stale count folded into the rewrite's own materialization via an
+    # Observation BELOW the keep filter (VERDICT r5 #8: the separate
+    # count() spent a full extra job before the rewrite barrier re-
+    # counted the survivors). Rewriting unconditionally when nothing is
+    # stale is harmless — the table is per-conv metadata scale.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    kept = (
+        ranked.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.col("_rn") > keep_last, 1)), F.lit(0)
+            ).alias("stale"),
+        )
+        .where(F.col("_rn") <= keep_last)
+        .drop("_rn")
+    )
+    fmt.rewrite(kept, path)
+    return int(obs.get["stale"])

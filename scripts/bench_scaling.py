@@ -102,6 +102,10 @@ dt = time.perf_counter() - t0
 # leg of a series verifies it, later legs reuse it (SCALING_POINTS)
 # instead of re-running the whole pipeline untimed.
 known = os.environ.get("SCALING_POINTS")
+# the cached cardinality is only valid for the SAME input table —
+# a mismatched scope falls back to recounting (r5 ADVICE)
+if os.environ.get("SCALING_POINTS_FOR") != inp:
+    known = None
 points = int(known) if known else build(lat_cached).count()
 lat_cached.unpersist()
 print(json.dumps({{"master": master, "seconds": round(dt, 2),
@@ -122,8 +126,10 @@ def run_level(master: str, inp: str, points: int | None = None) -> dict:
                MKL_NUM_THREADS="1")
     if points is not None:
         # output cardinality already verified by an earlier leg on the
-        # same input — skip the untimed re-count (see WORKER)
+        # same input — skip the untimed re-count (see WORKER); scoped
+        # to the input path so a stale value can never cross tables
         env["SCALING_POINTS"] = str(points)
+        env["SCALING_POINTS_FOR"] = inp
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3600, env=env,
     )
@@ -207,7 +213,9 @@ excluded from this measurement — on a real multi-executor cluster with
 an object-store committer it parallelizes; the full checkpointed
 writing job is what `bench.py` times.
 """
-    (REPO / "BENCH_SCALING.md").write_text(md)
+    # BENCH_SCALING.md is a hand-curated evidence document since r5;
+    # the legacy two-leg path writes its auto-generated stub elsewhere
+    (REPO / "BENCH_SCALING_raw.md").write_text(md)
 
 
 if __name__ == "__main__":

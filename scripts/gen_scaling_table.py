@@ -19,6 +19,7 @@ Usage: python scripts/gen_scaling_table.py [n_chunks] [convs_per_chunk]
 
 from __future__ import annotations
 
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -36,7 +37,16 @@ def main() -> None:
     n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     convs = int(sys.argv[2]) if len(sys.argv) > 2 else 456_995
     out = REPO / ".bench_cache" / "transcripts_scaling_xxl.parquet"
-    out.mkdir(parents=True, exist_ok=True)
+    # clean regeneration: stale chunk files from a previous run with
+    # more chunks (or a crashed run) would silently inflate the table
+    # the scaling worker reads; a plain file at the path would make
+    # mkdir raise (r5 ADVICE)
+    if out.exists():
+        if out.is_dir():
+            shutil.rmtree(out)
+        else:
+            out.unlink()
+    out.mkdir(parents=True)
     total = 0
     for i in range(n_chunks):
         t0 = time.perf_counter()

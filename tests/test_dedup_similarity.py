@@ -788,6 +788,41 @@ def test_cap_report_signals_degraded_runs(spark):
     assert len(sh) > 0 and all(r.bucket_size == 120 for r in sh)
 
 
+def test_cap_observation_reports_star_degradation(spark, docs):
+    """r6 (VERDICT r5 #9): a capped run reports star-degraded member
+    rows for free via an Observation on the band join's own stage —
+    zero on a clean corpus, positive on a boilerplate flood."""
+    from pyspark.sql import Observation
+
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_near_pairs,
+    )
+
+    obs = Observation()
+    minhash_lsh_dedup(docs, cap_observation=obs).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["cap_star_rows"] == 0  # clean corpus: pair-exact
+
+    boiler = "all work and no play makes jack a dull boy " * 6
+    flood = spark.createDataFrame(
+        [(i, boiler + str(i % 2)) for i in range(160)],
+        "doc_id int, text string",
+    )
+    obs2 = Observation()
+    minhash_lsh_dedup(
+        flood, bucket_cap=50, cap_observation=obs2
+    ).write.format("noop").mode("overwrite").save()
+    assert obs2.get["cap_star_rows"] > 0
+
+    obs3 = Observation()
+    simhash_near_pairs(
+        flood, bucket_cap=50, cap_observation=obs3
+    ).write.format("noop").mode("overwrite").save()
+    assert obs3.get["cap_star_rows"] > 0
+
+
 def test_minhash_incremental_matches_full_recompute(spark, docs):
     """VERDICT r4 #4: appending a batch via the signature store finds
     exactly the pairs the full recompute would add — bit-equal jaccard
