@@ -1033,6 +1033,19 @@ def _alternating_star(
             E = new_E
             break
         E, n_edges = new_E, new_n
+        # early fixpoint test (r6): canonical edges + no node on both
+        # sides (u-set ∩ v-set = ∅) ⟺ E is a star forest whose centers
+        # are their components' minima — the algorithm's fixpoint — so
+        # the next round would reproduce E exactly. One tiny semi-join
+        # job on the checkpointed edge set instead of a full extra
+        # round (two window shuffles + distinct + checkpoint over every
+        # edge); near-dup graphs typically converge in round 1.
+        if (
+            E.select("v")
+            .join(E.select(F.col("u").alias("v")), "v", "left_semi")
+            .isEmpty()
+        ):
+            break
     return E, rounds
 
 
