@@ -203,6 +203,7 @@ def minhash_signatures(
     id_type = sel.schema["_id"].dataType.simpleString()
     # shingles per chunk × n_hashes × 8 B ≈ 64 MB mix-matrix ceiling
     chunk_tokens = max(64 * 1024 * 1024 // (8 * n_hashes), 1024)
+    n_packs = -(-n_hashes // _SCREEN_LANES)
 
     def _sigs(batches):
         for pdf in batches:
@@ -222,6 +223,8 @@ def minhash_signatures(
                 dtype=np.int64,
             )
             out: list = [None] * len(shingles)
+            n_rows = len(shingles)
+            packs = np.zeros((n_rows, n_packs), dtype=np.int64)
             start = 0
             while start < len(shingles):
                 end, tok = start, 0
@@ -242,10 +245,36 @@ def minhash_signatures(
                     mins = np.minimum.reduceat(mixed, starts, axis=0)
                     for j, i in enumerate(live):
                         out[i] = mins[j]
+                    # packed screen bytes ride along from the kernel
+                    # (a few NumPy ops per CHUNK): computing them here
+                    # instead of as 64-GetArrayItem JVM projections on
+                    # both band-join sides keeps the join stage's
+                    # generated code small — the JVM-pack form paid a
+                    # multi-second one-time codegen/JIT hit per session
+                    # plus a steady per-run penalty at sf0.1 (the huge
+                    # fused method ran below full JIT quality).
+                    low = mins & 0xFF
+                    for g in range(n_packs):
+                        lanes = min(
+                            _SCREEN_LANES, n_hashes - g * _SCREEN_LANES
+                        )
+                        w = np.int64(1) << (
+                            8 * np.arange(lanes, dtype=np.int64)
+                        )
+                        packs[live, g] = (
+                            low[:, g * _SCREEN_LANES:
+                                g * _SCREEN_LANES + lanes] * w
+                        ).sum(axis=1)
                 start = end
-            yield pd.DataFrame({"_id": pdf["_id"], "_sig": out})
+            cols = {"_id": pdf["_id"], "_sig": out}
+            for g in range(n_packs):
+                cols[f"_p{g}"] = packs[:, g]
+            yield pd.DataFrame(cols)
 
-    return sel.mapInPandas(_sigs, f"_id {id_type}, _sig array<long>")
+    pack_schema = ", ".join(f"_p{g} long" for g in range(n_packs))
+    return sel.mapInPandas(
+        _sigs, f"_id {id_type}, _sig array<long>, {pack_schema}"
+    )
 
 
 def _star_cap_sides(
@@ -432,14 +461,31 @@ def _screen_agree(n_hashes: int) -> Column:
     return agree
 
 
+def _screen_side_cols(side: DataFrame, prefix: str, n_hashes: int) -> list:
+    """Screen columns for one band-join side: rename the kernel's
+    precomputed ``_p{j}`` packed longs when present (the normal path —
+    zero JVM work), else fall back to packing from ``_sig`` with JVM
+    expressions (inputs produced before the packed-kernel change, e.g.
+    an old persisted signature store)."""
+    n_packs = -(-n_hashes // _SCREEN_LANES)
+    if all(f"_p{j}" in side.columns for j in range(n_packs)):
+        return [
+            F.col(f"_p{j}").alias(f"{prefix}{j}") for j in range(n_packs)
+        ]
+    return _packed_screen_cols(F.col("_sig"), prefix, n_hashes)
+
+
 def minhash_banded(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """Explode minhash signatures into (band, bucket-hash) rows,
-    carrying the signature through (no join-back). ``sigs`` is the
-    output of :func:`minhash_signatures` with nulls dropped."""
+    carrying the signature (and the kernel's packed screen bytes, when
+    present) through — no join-back. ``sigs`` is the output of
+    :func:`minhash_signatures` with nulls dropped."""
     r = n_hashes // bands
+    packs = [c for c in sigs.columns if c.startswith("_p")]
     return sigs.select(
         "_id",
         "_sig",
+        *packs,
         F.explode(
             F.array(
                 *[
@@ -453,7 +499,7 @@ def minhash_banded(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "_sig", "_b.band", "_b.bh")
+    ).select("_id", "_sig", *packs, "_b.band", "_b.bh")
 
 
 def minhash_cap_report(
@@ -545,7 +591,7 @@ def minhash_lsh_dedup(
     paired = (
         a_side.select(
             "band", "bh", F.col("_id").alias("doc_a"),
-            *_packed_screen_cols(F.col("_sig"), "_a", n_hashes),
+            *_screen_side_cols(a_side, "_a", n_hashes),
         )
         .join(
             # SHUFFLE_HASH: skips the per-partition sort of both sides
@@ -556,7 +602,7 @@ def minhash_lsh_dedup(
             # already capped by the star cap.
             b_side.select(
                 "band", "bh", F.col("_id").alias("doc_b"),
-                *_packed_screen_cols(F.col("_sig"), "_b", n_hashes),
+                *_screen_side_cols(b_side, "_b", n_hashes),
             ).hint("SHUFFLE_HASH"),
             ["band", "bh"],
         )
@@ -764,11 +810,18 @@ def minhash_lsh_increment(
 
     touched = new_banded.select("band", "bh").distinct()
     old_in_touched = store.join(touched, ["band", "bh"], "left_semi")
+    # the kernel's packed screen longs ride the union when both the
+    # store and the batch carry them; otherwise the pair projections
+    # below fall back to JVM packing from _sig
+    packs = [
+        c for c in new_banded.columns
+        if c.startswith("_p") and c in store.columns
+    ]
     all_banded = old_in_touched.select(
-        "_id", "_sig", "band", "bh", F.lit(False).alias("_new")
+        "_id", "_sig", *packs, "band", "bh", F.lit(False).alias("_new")
     ).unionByName(
         new_banded.select(
-            "_id", "_sig", "band", "bh", F.lit(True).alias("_new")
+            "_id", "_sig", *packs, "band", "bh", F.lit(True).alias("_new")
         )
     )
     a_side, b_side = _star_cap_sides(all_banded, ("band", "bh"), "_id",
@@ -777,13 +830,13 @@ def minhash_lsh_increment(
         a_side.select(
             "band", "bh", F.col("_id").alias("doc_a"),
             F.col("_new").alias("_newa"),
-            *_packed_screen_cols(F.col("_sig"), "_a", n_hashes),
+            *_screen_side_cols(a_side, "_a", n_hashes),
         )
         .join(
             b_side.select(
                 "band", "bh", F.col("_id").alias("doc_b"),
                 F.col("_new").alias("_newb"),
-                *_packed_screen_cols(F.col("_sig"), "_b", n_hashes),
+                *_screen_side_cols(b_side, "_b", n_hashes),
             ).hint("SHUFFLE_HASH"),  # see minhash_lsh_dedup
             ["band", "bh"],
         )
