@@ -211,17 +211,24 @@ class RollupJob:
         lat = with_latency(normalize(bucketed)).persist()
 
         # one pass serves both the row count and the per-bucket
-        # checkpoint stats (no separate count() job)
-        stats = (
-            lat.groupBy("conv_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("rows_processed"),
-                F.min("ts").alias("bucket_range_start"),
-                F.max("ts").alias("bucket_range_end"),
+        # checkpoint stats (no separate count() job). Lazy thunk: the
+        # overlapped-writes path submits it to the pool so the ~seconds
+        # of lat materialization + stats aggregation run concurrently
+        # with the first tier's build/sinks (the first consumer to reach
+        # a lat partition computes it, the rest read the cached block);
+        # the result is only joined right before the checkpoint rows are
+        # built, which is the first point that needs it.
+        def _collect_stats():
+            return (
+                lat.groupBy("conv_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("rows_processed"),
+                    F.min("ts").alias("bucket_range_start"),
+                    F.max("ts").alias("bucket_range_end"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        total_rows = sum(r.rows_processed for r in stats)
+
         as_of = cfg.as_of or dt.datetime(2100, 1, 1)
 
         def _bucket_col():
@@ -313,6 +320,7 @@ class RollupJob:
         if cfg.parallel_tiers and not cfg.cascade_coarse and len(cfg.tiers) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            stats = _collect_stats()
             with ThreadPoolExecutor(max_workers=len(cfg.tiers)) as pool:
                 # surface the first failure (list() re-raises)
                 list(
@@ -326,9 +334,12 @@ class RollupJob:
             # stay sequential and every write lands before the
             # checkpoint below (futures joined here, first error
             # re-raised). FIFO scheduling keeps the earlier write ahead.
+            # The stats pass goes on the pool FIRST: it was ~8 s of
+            # serialized lat materialization before any tier work.
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=cfg.overlap_writes) as pool:
+                stats_f = pool.submit(_collect_stats)
                 futures = []
                 for tier in cfg.tiers:
                     process_tier(tier, lambda fn: futures.append(
@@ -336,10 +347,13 @@ class RollupJob:
                     ))
                 for f in futures:
                     f.result()
+                stats = stats_f.result()
         else:
+            stats = _collect_stats()
             for tier in cfg.tiers:
                 process_tier(tier, lambda fn: fn())
 
+        total_rows = sum(r.rows_processed for r in stats)
         # checkpoint rows: one per processed bucket, written AFTER the tier
         # partitions land (write-then-checkpoint = at-least-once, idempotent
         # because partition overwrite is deterministic). Reuses the stats
