@@ -856,6 +856,27 @@ def test_minhash_incremental_matches_full_recompute(spark, docs):
     assert new_ids <= b2_ids and not (new_ids & b1_ids)
 
 
+def test_increment_jvm_pack_fallback_matches(spark, docs):
+    """A signature store WITHOUT the kernel's packed _p columns (e.g.
+    written before the r6 packed-kernel change) routes through the JVM
+    packing fallback — emitted pairs must be bit-identical."""
+    from ecov003_l2t_stars_spark.operators.dedup import (
+        minhash_lsh_increment,
+        minhash_signature_store,
+    )
+
+    batch1 = docs.where(F.col("doc_id") % 3 != 0)
+    batch2 = docs.where(F.col("doc_id") % 3 == 0)
+    store = minhash_signature_store(batch1)
+    legacy = store.drop(*[c for c in store.columns if c.startswith("_p")])
+
+    want, _ = minhash_lsh_increment(batch2, store, docs)
+    got, _ = minhash_lsh_increment(batch2, legacy, docs)
+    w = {(r.doc_a, r.doc_b, r.jaccard) for r in want.collect()}
+    g = {(r.doc_a, r.doc_b, r.jaccard) for r in got.collect()}
+    assert g == w and len(g) > 0
+
+
 def test_increment_verify_ids_pushdown(spark, docs):
     """r6 (VERDICT r5 #3): ``collect_verify_ids=True`` pushes the
     screen-survivor id set into the docs scan as an In() predicate (so
